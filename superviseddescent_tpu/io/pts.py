@@ -1,0 +1,40 @@
+"""ibug .pts landmark file parser.
+
+Parity with the reference reader
+(/root/reference/include/rcr/landmarks_io.hpp:43-85): skip 3 header lines,
+name landmarks "1".."68" in file order, and subtract 1.0 from both
+coordinates (Matlab 1-based -> C 0-based origin).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from superviseddescent_tpu.utils.landmarks import LandmarkCollection
+
+
+def read_pts_landmarks(filename) -> LandmarkCollection:
+    names = []
+    coords = []
+    with open(filename, "r") as f:
+        lines = f.readlines()
+    if len(lines) < 4:
+        raise ValueError(f"not a .pts file (too short): {filename}")
+    ibug_id = 1
+    for line in lines[3:]:
+        line = line.strip()
+        if line == "}" or not line:
+            break
+        parts = line.split()
+        if len(parts) < 2:
+            raise ValueError(
+                f"Landmark format error while parsing the line: {line}")
+        try:
+            x, y = float(parts[0]), float(parts[1])
+        except ValueError as e:
+            raise ValueError(
+                f"Landmark format error while parsing the line: {line}") from e
+        names.append(str(ibug_id))
+        coords.append((np.float32(x) - 1.0, np.float32(y) - 1.0))
+        ibug_id += 1
+    return LandmarkCollection(names, np.asarray(coords, np.float32))
