@@ -1,0 +1,199 @@
+"""VLFeat-style HOG descriptors as pure XLA ops, batched over patches.
+
+From-scratch TPU reimplementation of the behaviour of the reference's
+vendored VLFeat HOG kernel (/root/reference/include/rcr/hog.c: vl_hog_new
+:174, vl_hog_put_image :596, vl_hog_extract :858) — the one large native
+C kernel of the reference — redesigned for the MXU/VPU:
+
+  * The per-pixel scalar loops of vl_hog_put_image become vectorised
+    gradient + hard orientation assignment over the whole (B, S, S) patch
+    batch at once.
+  * The bilinear *spatial splat* of gradient magnitude into cells is
+    separable: pixel (x, y) contributes tent(hx - cx) * tent(hy - cy) to
+    cell (cx, cy), so the accumulation is two small dense matmuls with
+    precomputed (S, C) tent-weight matrices — no scatters, MXU-friendly.
+  * vl_hog_extract's block normalisation is pure elementwise math on the
+    (B, C, C, 2O) cell tensor (VPU).
+
+Semantics matched to the C (validated bit-close by golden tests against the
+reference implementation compiled offline, tests/test_hog_golden.py):
+
+  * interior pixels only (loops start at 1, hog.c:616-617);
+  * central differences; gradient normalised by max(||g||, 1e-10) (:645-647);
+  * hard assignment to the best of 2*O directed bins by dot product with
+    bin unit vectors (cos, sin)(k*pi/O), strict-> first-wins ties
+    (:656-672); bilinear orientation assignment is off by default (:185);
+  * cell grid C = (S + cs//2) // cs (:542-543); splat weights from
+    h = (p + 0.5)/cs - 0.5 (:696-704);
+  * block norms: per-cell squared L2 energy of the folded histogram
+    (:875-890), four 2x2-block factors 1/sqrt(sum + 1e-4) with clamped
+    border indexing (:926-982), components clamped at 0.2 (:1005-1018);
+  * Uoctti output = 0.5 * sum of 4 normalised copies for directed (2O) and
+    undirected (O) channels plus 4 texture dims t_i/sqrt(18) (:1025-1052);
+    DalalTriggs output = the 4 normalised undirected copies (4O channels).
+"""
+
+from __future__ import annotations
+
+import enum
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class HogVariant(enum.IntEnum):
+    """Matches VlHogVariant (hog.h:72): DalalTriggs=0, Uoctti=1."""
+    DalalTriggs = 0
+    Uoctti = 1
+
+
+def hog_num_cells(size: int, cell_size: int) -> int:
+    """Cell-grid side length (hog.c:542-543)."""
+    return (size + cell_size // 2) // cell_size
+
+
+def hog_dimension(variant: HogVariant, num_orientations: int) -> int:
+    """Descriptor channels per cell (hog.c:212-223)."""
+    if variant == HogVariant.Uoctti:
+        return 3 * num_orientations + 4
+    return 4 * num_orientations
+
+
+@functools.lru_cache(maxsize=None)
+def _cell_weights(size: int, cell_size: int) -> np.ndarray:
+    """(S, C) tent-weight matrix: weight of pixel p onto cell c.
+
+    Equivalent to the 4-neighbour bounds-checked splat of hog.c:684-724:
+    for h = (p + 0.5)/cs - 0.5, cells floor(h) and floor(h)+1 receive
+    weights (1 - frac) and frac — i.e. w(p, c) = max(0, 1 - |h - c|).
+    Border pixels (p = 0, S-1) are excluded from the gradient loops.
+    """
+    n_cells = hog_num_cells(size, cell_size)
+    p = np.arange(size, dtype=np.float64)
+    h = (p + 0.5) / cell_size - 0.5
+    c = np.arange(n_cells, dtype=np.float64)
+    w = np.maximum(0.0, 1.0 - np.abs(h[:, None] - c[None, :]))
+    w[0, :] = 0.0
+    w[-1, :] = 0.0
+    return w.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _orientation_vectors(num_orientations: int) -> np.ndarray:
+    """(2, O) unit vectors (cos, sin)(k*pi/O) (hog.c:195-204)."""
+    angles = np.arange(num_orientations, dtype=np.float64) * np.pi / num_orientations
+    return np.stack([np.cos(angles), np.sin(angles)]).astype(np.float32)
+
+
+def hog_cells(images: jnp.ndarray, cell_size: int, num_orientations: int
+              ) -> jnp.ndarray:
+    """Directed-orientation cell histograms.
+
+    Args:
+      images: (B, S, S) float32 patches, values in [0, 255] like the
+        reference (uint8 images converted to float).
+      cell_size: HOG cell size in pixels.
+      num_orientations: O undirected orientations (2*O directed bins).
+
+    Returns:
+      (B, C, C, 2*O) cell histograms, [cy, cx, bin] — matching the C's
+      hog[x + y*W + bin*W*H] layout transposed to channels-last.
+    """
+    b, s, s2 = images.shape
+    assert s == s2, "square patches expected"
+    dtype = images.dtype
+
+    # Central differences on interior pixels (borders get zero weight
+    # via the tent matrices anyway, but zero them for exactness).
+    gx = jnp.zeros_like(images)
+    gy = jnp.zeros_like(images)
+    gx = gx.at[:, :, 1:-1].set(images[:, :, 2:] - images[:, :, :-2])
+    gy = gy.at[:, 1:-1, :].set(images[:, 2:, :] - images[:, :-2, :])
+
+    grad = jnp.sqrt(gx * gx + gy * gy)
+    denom = jnp.maximum(grad, jnp.asarray(1e-10, dtype))
+    gxn = gx / denom
+    gyn = gy / denom
+
+    ov = jnp.asarray(_orientation_vectors(num_orientations))   # (2, O)
+    # scores_k = gxn*cos_k + gyn*sin_k  -> (B, S, S, O)
+    scores = gxn[..., None] * ov[0] + gyn[..., None] * ov[1]
+    abs_scores = jnp.abs(scores)
+    k_best = jnp.argmax(abs_scores, axis=-1)                    # first max wins
+    sign_neg = jnp.take_along_axis(scores, k_best[..., None],
+                                   axis=-1)[..., 0] < 0
+    directed = k_best + num_orientations * sign_neg.astype(k_best.dtype)
+
+    # G[b, y, x, o] = grad * onehot(directed == o)
+    onehot = jax.nn.one_hot(directed, 2 * num_orientations, dtype=dtype)
+    g = grad[..., None] * onehot                                # (B,S,S,2O)
+
+    w = jnp.asarray(_cell_weights(s, cell_size))                # (S, C)
+    # two dense matmuls: contract y then x (MXU)
+    tmp = jnp.einsum("yc,byxo->bcxo", w, g,
+                     precision=jax.lax.Precision.HIGHEST)
+    cells = jnp.einsum("xd,bcxo->bcdo", w, tmp,
+                       precision=jax.lax.Precision.HIGHEST)
+    return cells                                                # (B,C,C,2O)
+
+
+def hog_extract(cells: jnp.ndarray, variant: HogVariant = HogVariant.Uoctti
+                ) -> jnp.ndarray:
+    """Block-normalised descriptor from directed cell histograms.
+
+    cells: (B, C, C, 2*O) -> (B, C, C, D) with D = hog_dimension(...).
+    """
+    b, c, c2, two_o = cells.shape
+    num_orientations = two_o // 2
+    dtype = cells.dtype
+
+    ha = cells[..., :num_orientations]          # directed, first half
+    hb = cells[..., num_orientations:]          # directed, second half
+    folded = ha + hb                            # undirected histogram
+
+    energy = jnp.sum(folded * folded, axis=-1)  # (B, C, C) cell energy
+
+    # clamped 3x3 neighbourhood via edge-replicate padding (hog.c:930-943)
+    e = jnp.pad(energy, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    n1 = e[:, :-2, :-2]; n2 = e[:, :-2, 1:-1]; n3 = e[:, :-2, 2:]
+    n4 = e[:, 1:-1, :-2]; n5 = e[:, 1:-1, 1:-1]; n6 = e[:, 1:-1, 2:]
+    n7 = e[:, 2:, :-2]; n8 = e[:, 2:, 1:-1]; n9 = e[:, 2:, 2:]
+
+    eps = jnp.asarray(1e-4, dtype)
+    f1 = jax.lax.rsqrt(n1 + n2 + n4 + n5 + eps)
+    f2 = jax.lax.rsqrt(n2 + n3 + n5 + n6 + eps)
+    f3 = jax.lax.rsqrt(n4 + n5 + n7 + n8 + eps)
+    f4 = jax.lax.rsqrt(n5 + n6 + n8 + n9 + eps)
+    factors = jnp.stack([f1, f2, f3, f4], axis=-1)[..., None]   # (B,C,C,4,1)
+
+    clamp = jnp.asarray(0.2, dtype)
+    ha_i = factors * ha[..., None, :]                           # (B,C,C,4,O)
+    hb_i = factors * hb[..., None, :]
+    hc_i = jnp.minimum(ha_i + hb_i, clamp)  # hc built from unclamped parts
+    ha_i = jnp.minimum(ha_i, clamp)
+    hb_i = jnp.minimum(hb_i, clamp)
+
+    if variant == HogVariant.Uoctti:
+        out_ha = 0.5 * jnp.sum(ha_i, axis=-2)
+        out_hb = 0.5 * jnp.sum(hb_i, axis=-2)
+        out_hc = 0.5 * jnp.sum(hc_i, axis=-2)
+        t = jnp.sum(hc_i, axis=-1) * jnp.asarray(
+            np.float32(1.0) / np.sqrt(np.float32(18.0)), dtype)  # (B,C,C,4)
+        return jnp.concatenate([out_ha, out_hb, out_hc, t], axis=-1)
+    # DalalTriggs: the four normalised undirected copies, factor-major
+    return hc_i.reshape(b, c, c2, 4 * num_orientations)
+
+
+def hog_descriptor(images: jnp.ndarray, cell_size: int, num_orientations: int,
+                   variant: HogVariant = HogVariant.Uoctti) -> jnp.ndarray:
+    """Full HOG pipeline: (B, S, S) patches -> (B, C*C*D) row descriptors.
+
+    Flattening follows the reference's Matlab column-major order
+    (adaptive_vlhog.hpp:166-175): index = d*C*C + x*C + y.
+    """
+    cells = hog_cells(images, cell_size, num_orientations)
+    desc = hog_extract(cells, variant)                          # (B,C,C,D)
+    desc = jnp.transpose(desc, (0, 3, 2, 1))                    # (B,D,X,Y)
+    return desc.reshape(desc.shape[0], -1)
