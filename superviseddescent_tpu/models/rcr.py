@@ -1,0 +1,302 @@
+"""Robust Cascaded Regression (RCR) facial landmark detection.
+
+TPU-native rebuild of the reference's RCR layer
+(/root/reference/include/rcr/model.hpp, adaptive_vlhog.hpp): the flagship
+application of the SDM cascade — 22-landmark face alignment with adaptive
+VLFeat-HOG features and inter-eye-distance normalisation.
+
+Key differences from the reference, by design:
+  * HogTransform is batched: one call produces the (N, F) feature matrix for
+    all samples of a cascade level as a single XLA computation (patch gather
+    + HOG matmuls), instead of a per-sample thread-pool task
+    (superviseddescent.hpp:173-189).
+  * detect() over a batch of faces is ONE jit-compiled program over the
+    whole 4-level cascade — the "jit(scan over levels)(vmapped over faces)"
+    promise of SURVEY.md §3.2.
+  * Face detection itself is pluggable and outside the library scope, as in
+    the reference (OpenCV Haar is used there, rcr-detect.cpp:110); a
+    ground-truth-derived facebox helper is provided for training/eval.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from superviseddescent_tpu.core.cascade import SupervisedDescentOptimiser
+from superviseddescent_tpu.core.regressor import LinearRegressor
+from superviseddescent_tpu.core.regulariser import Regulariser, RegularisationType
+from superviseddescent_tpu.io.cereal import (
+    CerealDetectionModel, CerealHoGParam, CerealRegressor,
+    load_detection_model as _load_cereal,
+    save_detection_model as _save_cereal,
+)
+from superviseddescent_tpu.ops.hog import HogVariant, hog_descriptor
+from superviseddescent_tpu.ops.patches import extract_patches
+from superviseddescent_tpu.utils.landmarks import (
+    LandmarkCollection, ied_from_rows, resolve_eye_indices,
+    to_landmark_collection,
+)
+
+
+@dataclass(frozen=True)
+class HogParams:
+    """Per-cascade-level HOG configuration
+    (reference HoGParam, adaptive_vlhog.hpp:41-60)."""
+    variant: HogVariant = HogVariant.Uoctti
+    num_cells: int = 5
+    cell_size: int = 11
+    num_bins: int = 4
+    relative_patch_size: float = 1.0   # patch size as a fraction of the IED
+
+    @property
+    def patch_size(self) -> int:
+        """Fixed resize target in pixels (adaptive_vlhog.hpp:154)."""
+        return self.num_cells * self.cell_size
+
+
+# The shipped RCR-22 configuration (rcr-train.cpp:447)
+RCR22_HOG_PARAMS = (
+    HogParams(HogVariant.Uoctti, 5, 11, 4, 1.0),
+    HogParams(HogVariant.Uoctti, 5, 10, 4, 0.7),
+    HogParams(HogVariant.Uoctti, 5, 8, 4, 0.4),
+    HogParams(HogVariant.Uoctti, 5, 6, 4, 0.25),
+)
+
+
+def align_mean(mean, facebox, scaling_x=1.0, scaling_y=1.0,
+               translation_x=0.0, translation_y=0.0):
+    """Place the mean shape ([-0.5, 0.5]^2 facebox space) into a pixel
+    facebox (x, y, w, h) (reference: model.hpp:64-76).
+
+    mean: (..., 2L) rows; facebox: 4 scalars or (..., 4) arrays.
+    """
+    mean = jnp.asarray(mean)
+    fb = jnp.asarray(facebox, mean.dtype)
+    x, y, w, h = fb[..., 0], fb[..., 1], fb[..., 2], fb[..., 3]
+    l = mean.shape[-1] // 2
+    mx = (mean[..., :l] * scaling_x + 0.5 + translation_x) * w[..., None] + x[..., None]
+    my = (mean[..., l:] * scaling_y + 0.5 + translation_y) * h[..., None] + y[..., None]
+    return jnp.concatenate([mx, my], axis=-1)
+
+
+class InterEyeDistanceNormalisation:
+    """Adaptive normalisation: rows of 1/IED(current estimate)
+    (reference: model.hpp:84-116)."""
+
+    def __init__(self, model_landmarks: Sequence[str],
+                 right_eye_ids: Sequence[str], left_eye_ids: Sequence[str]):
+        self.model_landmarks = list(model_landmarks)
+        self.right_eye_ids = list(right_eye_ids)
+        self.left_eye_ids = list(left_eye_ids)
+        self._right_idx, self._left_idx = resolve_eye_indices(
+            model_landmarks, right_eye_ids, left_eye_ids)
+
+    def __call__(self, params: jnp.ndarray) -> jnp.ndarray:
+        ied = ied_from_rows(params, self._right_idx, self._left_idx)
+        return jnp.ones_like(params) / ied[..., None]
+
+
+class HogTransform:
+    """Batched adaptive-HOG projection function for the SDM cascade
+    (reference: adaptive_vlhog.hpp:70-195).
+
+    Per level: patch half-size = round(relative_patch_size * IED(x)/2) px in
+    the original image (adaptive, data-dependent — but only a *scalar*, so
+    shapes stay static); fixed-size patches are gathered and described with
+    HOG, flattened per landmark in Matlab order, concatenated, plus a bias 1.
+    """
+
+    def __init__(self, images, hog_params: Sequence[HogParams],
+                 model_landmarks: Sequence[str],
+                 right_eye_ids: Sequence[str],
+                 left_eye_ids: Sequence[str],
+                 image_indices=None,
+                 quantize: bool = True):
+        """images: (I, H, W) float32 gray stack (see ops.patches.stack_images).
+        image_indices: (N,) sample -> image map; defaults to arange or zeros
+        depending on batch size at call time."""
+        self.images = jnp.asarray(images)
+        if self.images.ndim == 2:
+            self.images = self.images[None]
+        self.hog_params = tuple(hog_params)
+        self.model_landmarks = list(model_landmarks)
+        self._right_idx, self._left_idx = resolve_eye_indices(
+            model_landmarks, right_eye_ids, left_eye_ids)
+        self.image_indices = (None if image_indices is None
+                              else jnp.asarray(image_indices, jnp.int32))
+        self.quantize = quantize
+
+    def feature_dim(self, level: int = 0) -> int:
+        p = self.hog_params[level]
+        from superviseddescent_tpu.ops.hog import hog_num_cells, hog_dimension
+        c = hog_num_cells(p.patch_size, p.cell_size)
+        return len(self.model_landmarks) * c * c * hog_dimension(
+            p.variant, p.num_bins) + 1
+
+    def _indices_for(self, n: int):
+        if self.image_indices is not None:
+            return self.image_indices
+        if self.images.shape[0] == 1:
+            return jnp.zeros((n,), jnp.int32)
+        if self.images.shape[0] == n:
+            return jnp.arange(n, dtype=jnp.int32)
+        raise ValueError(
+            f"cannot infer image indices for batch {n} over "
+            f"{self.images.shape[0]} images; pass image_indices")
+
+    def __call__(self, x: jnp.ndarray, level: int) -> jnp.ndarray:
+        p = self.hog_params[level]
+        n, two_l = x.shape
+        l = two_l // 2
+        s = p.patch_size
+
+        ied = ied_from_rows(x, self._right_idx, self._left_idx)     # (N,)
+        # std::round (half away from zero); guard degenerate estimates
+        phw = jnp.floor(p.relative_patch_size * ied / 2.0 + 0.5)
+        phw = jnp.maximum(phw, 1.0)
+
+        patches = extract_patches(
+            self.images, self._indices_for(n),
+            x[:, :l], x[:, l:], phw, s, quantize=self.quantize)      # (N,L,S,S)
+        desc = hog_descriptor(patches.reshape(n * l, s, s),
+                              p.cell_size, p.num_bins, p.variant)    # (N*L,F1)
+        desc = desc.reshape(n, -1)
+        bias = jnp.ones((n, 1), desc.dtype)
+        return jnp.concatenate([desc, bias], axis=1)
+
+
+class DetectionModel:
+    """A trained RCR landmark detection model
+    (reference: rcr::detection_model, model.hpp:122-219)."""
+
+    def __init__(self, sdo: SupervisedDescentOptimiser, mean,
+                 landmark_ids: Sequence[str],
+                 hog_params: Sequence[HogParams],
+                 right_eye_ids: Sequence[str],
+                 left_eye_ids: Sequence[str]):
+        self.sdo = sdo
+        self.mean = np.asarray(mean, np.float32)
+        self.landmark_ids = list(landmark_ids)
+        self.hog_params = tuple(hog_params)
+        self.right_eye_ids = list(right_eye_ids)
+        self.left_eye_ids = list(left_eye_ids)
+
+    # -------------------------------------------------------------- #
+    # Inference
+    # -------------------------------------------------------------- #
+    def _hog(self, images, image_indices=None, quantize=True):
+        return HogTransform(images, self.hog_params, self.landmark_ids,
+                            self.right_eye_ids, self.left_eye_ids,
+                            image_indices=image_indices, quantize=quantize)
+
+    def detect(self, image, facebox) -> LandmarkCollection:
+        """Detect landmarks in one image from a facebox (x, y, w, h)
+        (reference: model.hpp:132-144)."""
+        init = align_mean(self.mean, np.asarray(facebox, np.float32))
+        hog = self._hog(np.asarray(image, np.float32))
+        row = self.sdo.predict(init, None, hog)
+        return to_landmark_collection(np.asarray(row), self.landmark_ids)
+
+    def detect_from_landmarks(self, image, initialisation) -> LandmarkCollection:
+        """Detect from a prior landmark estimate, e.g. the previous video
+        frame (tracking; reference: model.hpp:147-157)."""
+        hog = self._hog(np.asarray(image, np.float32))
+        row = self.sdo.predict(jnp.asarray(initialisation), None, hog)
+        return to_landmark_collection(np.asarray(row), self.landmark_ids)
+
+    def detect_batch(self, images, faceboxes, image_indices=None,
+                     quantize=True) -> jnp.ndarray:
+        """Batched detection: (I, H, W) image stack + (B, 4) faceboxes ->
+        (B, 2L) landmark rows. Traceable; wrap in jax.jit for the hot path."""
+        init = align_mean(self.mean[None, :],
+                          jnp.asarray(faceboxes, jnp.float32))
+        hog = self._hog(images, image_indices=image_indices,
+                        quantize=quantize)
+        return self.sdo.test(init, None, hog)
+
+    def make_batched_detector(self, image_shape, batch: int,
+                              quantize: bool = True):
+        """Return a jitted ``f(images (B,H,W), faceboxes (B,4)) -> (B,2L)``
+        for fixed shapes — the serving entry point."""
+        def run(images, faceboxes):
+            return self.detect_batch(images, faceboxes,
+                                     image_indices=jnp.arange(batch, dtype=jnp.int32),
+                                     quantize=quantize)
+        return jax.jit(run)
+
+    # -------------------------------------------------------------- #
+    # Persistence (cereal byte-compatible + native)
+    # -------------------------------------------------------------- #
+    def to_cereal(self) -> CerealDetectionModel:
+        regs = []
+        for r in self.sdo.regressors:
+            reg = r.regulariser
+            regs.append(CerealRegressor(
+                weights=np.asarray(r.weights, np.float32),
+                regularisation_type=int(reg.regularisation_type),
+                lambda_=float(reg.param),
+                regularise_last_row=bool(reg.regularise_last_row)))
+        return CerealDetectionModel(
+            regressors=regs,
+            norm_model_landmarks=self.landmark_ids,
+            norm_right_eye_ids=self.right_eye_ids,
+            norm_left_eye_ids=self.left_eye_ids,
+            mean=self.mean,
+            landmark_ids=self.landmark_ids,
+            hog_params=[CerealHoGParam(int(p.variant), p.num_cells,
+                                       p.cell_size, p.num_bins,
+                                       p.relative_patch_size)
+                        for p in self.hog_params],
+            right_eye_ids=self.right_eye_ids,
+            left_eye_ids=self.left_eye_ids)
+
+    @classmethod
+    def from_cereal(cls, cm: CerealDetectionModel) -> "DetectionModel":
+        regressors = []
+        for cr in cm.regressors:
+            regressors.append(LinearRegressor(
+                weights=jnp.asarray(cr.weights),
+                regulariser=Regulariser(
+                    RegularisationType(cr.regularisation_type),
+                    cr.lambda_, cr.regularise_last_row)))
+        norm = InterEyeDistanceNormalisation(
+            cm.norm_model_landmarks, cm.norm_right_eye_ids,
+            cm.norm_left_eye_ids)
+        sdo = SupervisedDescentOptimiser(regressors, norm)
+        hog_params = tuple(HogParams(HogVariant(p.vlhog_variant), p.num_cells,
+                                     p.cell_size, p.num_bins,
+                                     p.relative_patch_size)
+                           for p in cm.hog_params)
+        return cls(sdo, cm.mean, cm.landmark_ids, hog_params,
+                   cm.right_eye_ids, cm.left_eye_ids)
+
+    def save(self, filename):
+        """Write the reference-compatible cereal binary format."""
+        _save_cereal(self.to_cereal(), filename)
+
+    @classmethod
+    def load(cls, filename) -> "DetectionModel":
+        return cls.from_cereal(_load_cereal(filename))
+
+
+def gt_facebox(landmarks: LandmarkCollection, margin: float = 0.2,
+               square: bool = True):
+    """Derive a facebox from ground-truth landmarks (for training/eval when
+    no face detector is wired in — the reference's OpenCV Haar cascade is an
+    external dependency, outside library scope per SURVEY.md §3.2)."""
+    c = landmarks.coordinates
+    x0, y0 = c.min(axis=0)
+    x1, y1 = c.max(axis=0)
+    w, h = x1 - x0, y1 - y0
+    if square:
+        side = max(w, h) * (1.0 + margin)
+        cx, cy = (x0 + x1) / 2, (y0 + y1) / 2
+        return (float(cx - side / 2), float(cy - side / 2),
+                float(side), float(side))
+    return (float(x0 - w * margin / 2), float(y0 - h * margin / 2),
+            float(w * (1 + margin)), float(h * (1 + margin)))

@@ -1,0 +1,163 @@
+"""RCR training pipeline: perturbation augmentation, metrics, orchestration.
+
+Rebuild of the reference rcr-train app's training logic
+(/root/reference/apps/rcr/rcr-train.cpp:119-212, 383-461) with explicit PRNG
+keys (the reference seeds from std::random_device and is unreproducible —
+SURVEY.md §4 nondeterminism note).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from superviseddescent_tpu.core.cascade import SupervisedDescentOptimiser
+from superviseddescent_tpu.core.regressor import LinearRegressor
+from superviseddescent_tpu.core.regulariser import Regulariser, RegularisationType
+from superviseddescent_tpu.models.rcr import (
+    DetectionModel, HogParams, HogTransform, InterEyeDistanceNormalisation,
+    RCR22_HOG_PARAMS, align_mean,
+)
+from superviseddescent_tpu.utils.landmarks import ied_from_rows, resolve_eye_indices
+
+
+def perturb_facebox(facebox, translation_x, translation_y, scaling=1.0):
+    """Perturb a facebox, keeping its center fixed under scaling.
+
+    tx/ty are fractions of box width/height (reference: rcr-train.cpp:130-146).
+    facebox and outputs are (..., 4) [x, y, w, h] float arrays.
+    """
+    fb = jnp.asarray(facebox, jnp.float32)
+    x, y, w, h = fb[..., 0], fb[..., 1], fb[..., 2], fb[..., 3]
+    tx_px = translation_x * w
+    ty_px = translation_y * h
+    pw = w * scaling
+    ph = h * scaling
+    nx = x + (w - pw) / 2.0 + tx_px
+    ny = y + (h - ph) / 2.0 + ty_px
+    return jnp.stack([nx, ny, pw, ph], axis=-1)
+
+
+def augment_initialisations(mean, faceboxes, key,
+                            num_perturbations: int = 10,
+                            sigma_translation: float = 0.04,
+                            sigma_scale: float = 0.04):
+    """Perturbation augmentation: per facebox, the original plus
+    `num_perturbations` randomly perturbed boxes, each aligned with the mean
+    (reference: rcr-train.cpp:386-434; tx,ty ~ N(0, 0.04), s ~ N(1, 0.04)).
+
+    Args:
+      mean: (2L,) mean shape in facebox space.
+      faceboxes: (B, 4).
+      key: jax PRNG key.
+
+    Returns:
+      (x0, sample_to_box): x0 is (B*(P+1), 2L) initialisations; sample_to_box
+      maps each row to its source facebox index (use it to replicate ground
+      truth rows and image indices). The original box comes first per group,
+      like the reference.
+    """
+    faceboxes = jnp.asarray(faceboxes, jnp.float32)
+    b = faceboxes.shape[0]
+    p = num_perturbations
+    k_t, k_s = jax.random.split(key)
+    trans = jax.random.normal(k_t, (b, p, 2)) * sigma_translation
+    scale = 1.0 + jax.random.normal(k_s, (b, p)) * sigma_scale
+
+    perturbed = perturb_facebox(faceboxes[:, None, :],
+                                trans[..., 0], trans[..., 1], scale)  # (B,P,4)
+    all_boxes = jnp.concatenate([faceboxes[:, None, :], perturbed],
+                                axis=1)                               # (B,P+1,4)
+    x0 = align_mean(jnp.asarray(mean)[None, None, :], all_boxes)      # (B,P+1,2L)
+    x0 = x0.reshape(b * (p + 1), -1)
+    sample_to_box = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p + 1)
+    return x0, sample_to_box
+
+
+def normalised_landmark_errors(predictions, groundtruth,
+                               right_idx: Tuple[int, ...],
+                               left_idx: Tuple[int, ...]):
+    """Per-landmark L2 error normalised by the IED of the *prediction*
+    (reference: rcr-train.cpp:200-212). Returns (N, L)."""
+    pred = jnp.asarray(predictions)
+    gt = jnp.asarray(groundtruth)
+    l = pred.shape[-1] // 2
+    dx = pred[..., :l] - gt[..., :l]
+    dy = pred[..., l:] - gt[..., l:]
+    norms = jnp.sqrt(dx * dx + dy * dy)
+    ied = ied_from_rows(pred, right_idx, left_idx)
+    return norms / ied[..., None]
+
+
+@dataclass
+class RcrTrainConfig:
+    """Hyperparameters of the reference rcr-train main()
+    (rcr-train.cpp:387-447), surfaced as config instead of hardcoded."""
+    hog_params: Sequence[HogParams] = RCR22_HOG_PARAMS
+    regularisation: Regulariser = Regulariser(
+        RegularisationType.MatrixNorm, 1.5, regularise_last_row=False)
+    num_perturbations: int = 10
+    sigma_translation: float = 0.04
+    sigma_scale: float = 0.04
+    seed: int = 0
+    solver_method: str = "lu"
+    quantize_patches: bool = True
+
+
+def train_rcr(images, groundtruth_rows, faceboxes,
+              model_landmarks: Sequence[str],
+              right_eye_ids: Sequence[str],
+              left_eye_ids: Sequence[str],
+              mean,
+              config: RcrTrainConfig = RcrTrainConfig(),
+              image_indices=None,
+              on_epoch=None) -> DetectionModel:
+    """Train an RCR detection model (the rcr-train pipeline, stack §3.3).
+
+    Args:
+      images: (I, H, W) float32 zero-padded gray stack.
+      groundtruth_rows: (B, 2L) ground-truth landmark rows (one per kept
+        face/image).
+      faceboxes: (B, 4) faceboxes for the mean-shape initialisation.
+      model_landmarks / eye ids: landmark naming + IED definition.
+      mean: (2L,) mean shape (already reduced to the model landmarks).
+      image_indices: (B,) map face -> image in the stack (default arange).
+      on_epoch: optional callback(current_predictions) per cascade level.
+
+    Returns a trained DetectionModel.
+    """
+    gt = jnp.asarray(groundtruth_rows, jnp.float32)
+    b = gt.shape[0]
+    if image_indices is None:
+        image_indices = jnp.arange(b, dtype=jnp.int32)
+    else:
+        image_indices = jnp.asarray(image_indices, jnp.int32)
+
+    key = jax.random.PRNGKey(config.seed)
+    x0, sample_to_box = augment_initialisations(
+        mean, faceboxes, key,
+        num_perturbations=config.num_perturbations,
+        sigma_translation=config.sigma_translation,
+        sigma_scale=config.sigma_scale)
+    x_gt = gt[sample_to_box]
+    sample_image_indices = image_indices[sample_to_box]
+
+    hog = HogTransform(images, config.hog_params, model_landmarks,
+                       right_eye_ids, left_eye_ids,
+                       image_indices=sample_image_indices,
+                       quantize=config.quantize_patches)
+    norm = InterEyeDistanceNormalisation(model_landmarks, right_eye_ids,
+                                         left_eye_ids)
+    regressors = [LinearRegressor(regulariser=config.regularisation,
+                                  method=config.solver_method)
+                  for _ in config.hog_params]
+    sdo = SupervisedDescentOptimiser(regressors, norm)
+    sdo.train(x_gt, x0, None, hog, on_training_epoch_callback=on_epoch)
+
+    return DetectionModel(sdo, mean, list(model_landmarks),
+                          tuple(config.hog_params),
+                          list(right_eye_ids), list(left_eye_ids))

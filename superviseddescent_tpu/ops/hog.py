@@ -87,6 +87,18 @@ def _orientation_vectors(num_orientations: int) -> np.ndarray:
     return np.stack([np.cos(angles), np.sin(angles)]).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=None)
+def _cell_weights_2d(size: int, cell_size: int) -> np.ndarray:
+    """(S*S, C*C) combined tent-weight matrix W2[p, cy*C+cx] =
+    Wy[y, cy] * Wx[x, cx] for p = y*S + x — the two separable splat matmuls
+    fused into one pixel->cells GEMM (better MXU utilisation, and it keeps
+    the pixel axis last so TPU (8, 128) tiling pads nothing pathological)."""
+    w = _cell_weights(size, cell_size)            # (S, C)
+    w2 = np.einsum("yc,xd->yxcd", w, w)           # (S, S, C, C)
+    n_cells = w.shape[1]
+    return w2.reshape(size * size, n_cells * n_cells).astype(np.float32)
+
+
 def hog_cells(images: jnp.ndarray, cell_size: int, num_orientations: int
               ) -> jnp.ndarray:
     """Directed-orientation cell histograms.
@@ -104,6 +116,12 @@ def hog_cells(images: jnp.ndarray, cell_size: int, num_orientations: int
     b, s, s2 = images.shape
     assert s == s2, "square patches expected"
     dtype = images.dtype
+    n_cells = hog_num_cells(s, cell_size)
+    two_o = 2 * num_orientations
+
+    # Layout rule (TPU (8, 128) tiling): never put a tiny axis (O, C) in the
+    # trailing two positions of a large tensor. All big intermediates here
+    # are (B, [O,] P) with P = S*S as the lane axis.
 
     # Central differences on interior pixels (borders get zero weight
     # via the tent matrices anyway, but zero them for exactness).
@@ -111,32 +129,34 @@ def hog_cells(images: jnp.ndarray, cell_size: int, num_orientations: int
     gy = jnp.zeros_like(images)
     gx = gx.at[:, :, 1:-1].set(images[:, :, 2:] - images[:, :, :-2])
     gy = gy.at[:, 1:-1, :].set(images[:, 2:, :] - images[:, :-2, :])
+    gx = gx.reshape(b, s * s)
+    gy = gy.reshape(b, s * s)
 
-    grad = jnp.sqrt(gx * gx + gy * gy)
+    grad = jnp.sqrt(gx * gx + gy * gy)                          # (B, P)
     denom = jnp.maximum(grad, jnp.asarray(1e-10, dtype))
     gxn = gx / denom
     gyn = gy / denom
 
-    ov = jnp.asarray(_orientation_vectors(num_orientations))   # (2, O)
-    # scores_k = gxn*cos_k + gyn*sin_k  -> (B, S, S, O)
-    scores = gxn[..., None] * ov[0] + gyn[..., None] * ov[1]
+    ov = jnp.asarray(_orientation_vectors(num_orientations))    # (2, O)
+    # scores_k = gxn*cos_k + gyn*sin_k  -> (B, O, P): O mid-axis, P last
+    scores = (gxn[:, None, :] * ov[0][None, :, None]
+              + gyn[:, None, :] * ov[1][None, :, None])
     abs_scores = jnp.abs(scores)
-    k_best = jnp.argmax(abs_scores, axis=-1)                    # first max wins
-    sign_neg = jnp.take_along_axis(scores, k_best[..., None],
-                                   axis=-1)[..., 0] < 0
+    k_best = jnp.argmax(abs_scores, axis=1)                     # (B, P), first max wins
+    sign_neg = jnp.take_along_axis(scores, k_best[:, None, :],
+                                   axis=1)[:, 0, :] < 0
     directed = k_best + num_orientations * sign_neg.astype(k_best.dtype)
 
-    # G[b, y, x, o] = grad * onehot(directed == o)
-    onehot = jax.nn.one_hot(directed, 2 * num_orientations, dtype=dtype)
-    g = grad[..., None] * onehot                                # (B,S,S,2O)
+    # G[b, o, p] = grad * (directed == o), orientation mid-axis
+    oids = jnp.arange(two_o, dtype=directed.dtype)[None, :, None]
+    g = grad[:, None, :] * (directed[:, None, :] == oids).astype(dtype)
 
-    w = jnp.asarray(_cell_weights(s, cell_size))                # (S, C)
-    # two dense matmuls: contract y then x (MXU)
-    tmp = jnp.einsum("yc,byxo->bcxo", w, g,
-                     precision=jax.lax.Precision.HIGHEST)
-    cells = jnp.einsum("xd,bcxo->bcdo", w, tmp,
-                       precision=jax.lax.Precision.HIGHEST)
-    return cells                                                # (B,C,C,2O)
+    # one pixels->cells GEMM: (B*2O, P) x (P, C*C)
+    w2 = jnp.asarray(_cell_weights_2d(s, cell_size))            # (P, C*C)
+    cells = jnp.einsum("bop,pc->boc", g, w2,
+                       precision=jax.lax.Precision.HIGHEST)     # (B,2O,C*C)
+    cells = cells.reshape(b, two_o, n_cells, n_cells)
+    return jnp.transpose(cells, (0, 2, 3, 1))                   # (B,C,C,2O)
 
 
 def hog_extract(cells: jnp.ndarray, variant: HogVariant = HogVariant.Uoctti

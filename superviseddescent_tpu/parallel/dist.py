@@ -1,0 +1,79 @@
+"""Distributed training and inference over a device mesh.
+
+The one true communication pattern this framework needs (SURVEY.md §5):
+the regularised least-squares learn is
+
+    AtA = sum_shards A_s^T A_s      Atb = sum_shards A_s^T b_s
+
+— a psum over the batch-sharded axis (ICI within a slice), followed by a
+replicated F x F factorisation. Implemented with shard_map so the collective
+placement is explicit; inference sharding just annotates the face batch and
+lets XLA partition the whole cascade.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from superviseddescent_tpu.core.regulariser import Regulariser
+from superviseddescent_tpu.ops.solver import _solve_from_normal
+
+
+def distributed_train_level(features, b, regulariser: Regulariser,
+                            mesh: Mesh, axis_name: str = "data",
+                            method: str = "lu"):
+    """One cascade level's learn, sharded over the sample axis.
+
+    features: (N, F) batch-sharded design matrix (observed values).
+    b: (N, P) batch-sharded targets (normalised update steps).
+
+    Each shard computes its partial normal equations on the MXU; a psum over
+    the mesh forms the full AtA / Atb; every device runs the (replicated)
+    factorisation. Returns the (F, P) weights, replicated.
+    """
+    n_total = features.shape[0]
+
+    def level_fn(f_shard, b_shard):
+        ata_part = jnp.dot(f_shard.T, f_shard,
+                           precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=f_shard.dtype)
+        atb_part = jnp.dot(f_shard.T, b_shard,
+                           precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=f_shard.dtype)
+        ata = jax.lax.psum(ata_part, axis_name)
+        atb = jax.lax.psum(atb_part, axis_name)
+        return _solve_from_normal(ata, atb, n_total, regulariser, method)
+
+    shard = jax.shard_map(
+        level_fn, mesh=mesh,
+        in_specs=(P(axis_name, None), P(axis_name, None)),
+        out_specs=P(None, None))
+    return shard(features, b)
+
+
+def sharded_detect(model, images, faceboxes, mesh: Mesh,
+                   axis_name: str = "data", quantize: bool = True):
+    """Batched RCR detection sharded over faces.
+
+    images: (B, H, W) per-face image stack; faceboxes: (B, 4). Both are
+    placed batch-sharded; the full 4-level cascade runs as one partitioned
+    XLA program (weights replicated, faces split over the mesh).
+    """
+    batch = images.shape[0]
+    spec3 = NamedSharding(mesh, P(axis_name, None, None))
+    spec2 = NamedSharding(mesh, P(axis_name, None))
+    images = jax.device_put(jnp.asarray(images, jnp.float32), spec3)
+    faceboxes = jax.device_put(jnp.asarray(faceboxes, jnp.float32), spec2)
+
+    @functools.partial(jax.jit, out_shardings=spec2)
+    def run(imgs, boxes):
+        return model.detect_batch(
+            imgs, boxes,
+            image_indices=jnp.arange(batch, dtype=jnp.int32),
+            quantize=quantize)
+
+    return run(images, faceboxes)

@@ -1,0 +1,199 @@
+"""End-to-end RCR pipeline tests on the bundled 5-image LFPW set.
+
+Uses a reduced HOG/landmark configuration so the normal-equations solves
+stay small on the CPU test backend; the full RCR-22 scale runs on TPU via
+bench.py. Exercises: patch extraction parity plumbing, HogTransform, IED
+normalisation, perturbation augmentation, cascade training, batched
+detection, and cereal round-trip through DetectionModel.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from superviseddescent_tpu.io import (
+    read_pts_landmarks, load_mean, read_landmarks_list_to_train,
+    read_ied_definition,
+)
+from superviseddescent_tpu.models import (
+    DetectionModel, HogParams, HogTransform, RcrTrainConfig, align_mean,
+    gt_facebox, normalised_landmark_errors, perturb_facebox,
+    augment_initialisations, train_rcr,
+)
+from superviseddescent_tpu.ops.hog import HogVariant
+from superviseddescent_tpu.ops.patches import (
+    extract_patches, load_gray_image, stack_images,
+)
+from superviseddescent_tpu.utils.landmarks import (
+    resolve_eye_indices, to_landmark_collection, to_row,
+)
+
+DATA = "/root/reference/examples/data/ibug_lfpw_trainset"
+needs_data = pytest.mark.skipif(not os.path.isdir(DATA),
+                                reason="reference data absent")
+
+# a small 10-landmark model for fast CPU tests: eyes, nose, mouth
+SMALL_LANDMARKS = ["31", "37", "40", "43", "46", "49", "52", "55", "58", "9"]
+RIGHT_EYE = ["37", "40"]
+LEFT_EYE = ["43", "46"]
+SMALL_HOG = (HogParams(HogVariant.Uoctti, 3, 8, 4, 0.8),
+             HogParams(HogVariant.Uoctti, 3, 6, 4, 0.5))
+
+
+def test_align_mean_formula():
+    mean = np.float32([-0.5, 0.5, -0.25, 0.25])   # 2 landmarks
+    out = np.asarray(align_mean(mean, np.float32([10, 20, 100, 200])))
+    # x' = (mx + 0.5) * w + x ; y' = (my + 0.5) * h + y
+    np.testing.assert_allclose(out, [10.0, 110.0, 70.0, 170.0])
+
+
+def test_perturb_facebox_center_preserved():
+    fb = np.float32([0, 0, 100, 100])
+    out = np.asarray(perturb_facebox(fb, 0.0, 0.0, 0.5))
+    # center stays at (50, 50); size halves
+    np.testing.assert_allclose(out, [25, 25, 50, 50])
+    out2 = np.asarray(perturb_facebox(fb, 0.1, -0.2, 1.0))
+    np.testing.assert_allclose(out2, [10, -20, 100, 100])
+
+
+def test_augmentation_shapes_and_originals():
+    import jax
+    mean = np.float32([-0.1, 0.1, -0.1, 0.1])
+    boxes = np.float32([[0, 0, 100, 100], [50, 50, 80, 80]])
+    x0, s2b = augment_initialisations(mean, boxes, jax.random.PRNGKey(0),
+                                      num_perturbations=3)
+    assert x0.shape == (8, 4)
+    np.testing.assert_array_equal(np.asarray(s2b), [0, 0, 0, 0, 1, 1, 1, 1])
+    # group leader is the unperturbed box
+    np.testing.assert_allclose(np.asarray(x0)[0],
+                               np.asarray(align_mean(mean, boxes[0])))
+
+
+def test_extract_patches_known_values():
+    # image with a known ramp; patch entirely inside; no resize (phw*2 == S)
+    img = np.arange(100, dtype=np.float32).reshape(10, 10)
+    patches = extract_patches(
+        img[None], np.int32([0]),
+        np.float32([[5.0]]), np.float32([[5.0]]),
+        np.float32([2.0]), 4, quantize=False)
+    # crop origin (3,3), scale=1: src coords = 0..3 + origin => rows 3..6
+    expected = img[3:7, 3:7]
+    np.testing.assert_allclose(np.asarray(patches)[0, 0], expected)
+
+
+def test_extract_patches_zero_padding():
+    img = np.full((10, 10), 200.0, np.float32)
+    patches = extract_patches(
+        img[None], np.int32([0]),
+        np.float32([[0.0]]), np.float32([[0.0]]),
+        np.float32([2.0]), 4, quantize=False)
+    p = np.asarray(patches)[0, 0]
+    # crop origin (-2,-2): top-left quadrant is outside the image -> zeros
+    assert p[0, 0] == 0.0 and p[0, 1] == 0.0
+    assert p[3, 3] == 200.0
+
+
+def test_extract_patches_resize_halves():
+    # 8x8 crop resized to 4x4: cv::resize area-like bilinear at scale 2
+    img = np.zeros((20, 20), np.float32)
+    img[6:14, 6:14] = np.arange(64, dtype=np.float32).reshape(8, 8)
+    patches = extract_patches(
+        img[None], np.int32([0]),
+        np.float32([[10.0]]), np.float32([[10.0]]),
+        np.float32([4.0]), 4, quantize=False)
+    p = np.asarray(patches)[0, 0]
+    # src = (d+0.5)*2-0.5 = 0.5, 2.5, 4.5, 6.5 -> bilinear midpoints
+    crop = img[6:14, 6:14]
+    for i, sy in enumerate([0.5, 2.5, 4.5, 6.5]):
+        for j, sx in enumerate([0.5, 2.5, 4.5, 6.5]):
+            y0, x0 = int(sy), int(sx)
+            expected = crop[y0:y0+2, x0:x0+2].mean()
+            np.testing.assert_allclose(p[i, j], expected, rtol=1e-5)
+
+
+@needs_data
+def load_small_dataset():
+    images, rows = [], []
+    for png in sorted(glob.glob(os.path.join(DATA, "*.png"))):
+        lms = read_pts_landmarks(png.replace(".png", ".pts"))
+        small = lms.filter(SMALL_LANDMARKS)
+        images.append(load_gray_image(png))
+        rows.append(to_row(small))
+    stack, _ = stack_images(images)
+    return stack, np.stack(rows)
+
+
+@needs_data
+def test_hog_transform_feature_dim():
+    stack, rows = load_small_dataset()
+    hog = HogTransform(stack, SMALL_HOG, SMALL_LANDMARKS, RIGHT_EYE, LEFT_EYE)
+    feats = np.asarray(hog(jnp.asarray(rows), 0))
+    # 3x3 cells x 16 dims x 10 landmarks + bias
+    assert feats.shape == (5, 10 * 9 * 16 + 1)
+    assert np.all(feats[:, -1] == 1.0)
+    assert np.isfinite(feats).all()
+    assert feats[:, :-1].max() <= 0.4 + 1e-6 and feats[:, :-1].min() >= 0.0
+
+
+@needs_data
+def test_rcr_end_to_end_train_detect_roundtrip(tmp_path):
+    stack, gt_rows = load_small_dataset()
+    boxes = np.stack([
+        gt_facebox(to_landmark_collection(r, SMALL_LANDMARKS))
+        for r in gt_rows]).astype(np.float32)
+
+    # mean: average of the GT shapes mapped into facebox space
+    def to_box_space(row, box):
+        l = len(SMALL_LANDMARKS)
+        x, y, w, h = box
+        return np.concatenate([(row[:l] - x) / w - 0.5,
+                               (row[l:] - y) / h - 0.5])
+    mean = np.mean([to_box_space(r, b) for r, b in zip(gt_rows, boxes)],
+                   axis=0).astype(np.float32)
+
+    # MatrixNorm 0.1 like the reference's landmark_detection hello-world
+    # (landmark_detection.cpp:440): the RCR-22 lambda factor of 1.5 is tuned
+    # for thousands of samples and over-regularises a 20-sample toy set.
+    from superviseddescent_tpu import Regulariser, RegularisationType
+    cfg = RcrTrainConfig(
+        hog_params=SMALL_HOG, num_perturbations=3, seed=42,
+        regularisation=Regulariser(RegularisationType.MatrixNorm, 0.1,
+                                   regularise_last_row=False))
+    right_idx, left_idx = resolve_eye_indices(
+        SMALL_LANDMARKS, RIGHT_EYE, LEFT_EYE)
+
+    errors = []
+    def on_epoch(x):
+        errors.append(float(np.mean(np.asarray(normalised_landmark_errors(
+            x, np.repeat(gt_rows, cfg.num_perturbations + 1, 0),
+            right_idx, left_idx)))))
+
+    model = train_rcr(stack, gt_rows, boxes, SMALL_LANDMARKS,
+                      RIGHT_EYE, LEFT_EYE, mean, cfg, on_epoch=on_epoch)
+
+    init_rows = np.asarray(align_mean(mean[None, :], boxes))
+    init_err = float(np.mean(np.asarray(normalised_landmark_errors(
+        init_rows, gt_rows, right_idx, left_idx))))
+    # cascade levels improve on each other and beat the mean-shape init
+    assert errors[-1] < errors[0]
+    assert errors[-1] < init_err
+
+    # batched detection on the training images
+    pred = np.asarray(model.detect_batch(stack, boxes))
+    det_err = float(np.mean(np.asarray(normalised_landmark_errors(
+        pred, gt_rows, right_idx, left_idx))))
+    assert det_err < init_err
+
+    # single-image detect agrees with the batched path
+    lc = model.detect(stack[0], boxes[0])
+    np.testing.assert_allclose(to_row(lc), pred[0], atol=1e-4)
+
+    # cereal round-trip: identical predictions after save/load
+    path = tmp_path / "rcr_small.bin"
+    model.save(path)
+    loaded = DetectionModel.load(path)
+    pred2 = np.asarray(loaded.detect_batch(stack, boxes))
+    np.testing.assert_allclose(pred2, pred, atol=1e-5)
