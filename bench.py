@@ -1,8 +1,10 @@
 """Benchmark: RCR 22-landmark batched detection throughput (faces/sec).
 
-Trains a quick RCR-22 model on the bundled 5-image LFPW set, then measures
-steady-state throughput of the jit-compiled 4-level detect cascade over a
-device-resident face batch on the available TPU device(s).
+Loads the committed pretrained RCR-22 model (pretrained/rcr22_lfpw5.bin,
+trained on the bundled 5-image LFPW set with apps/rcr_train.py; pass
+--train to retrain instead) and measures steady-state throughput of the
+jit-compiled 4-level detect cascade (fused Pallas HOG) over a
+device-resident face batch.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "faces/sec", "vs_baseline": N/10000}
@@ -10,46 +12,33 @@ Prints ONE JSON line:
 publishes no numbers.)
 """
 
+import glob
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+PRETRAINED = os.path.join(REPO, "pretrained", "rcr22_lfpw5.bin")
+DATA = "/root/reference/examples/data/ibug_lfpw_trainset"
+CFG_DIR = "/root/reference/apps/rcr/data"
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-
-    from superviseddescent_tpu.io import (
-        load_mean, read_landmarks_list_to_train, read_ied_definition,
-        read_pts_landmarks)
-    from superviseddescent_tpu.models import (
-        RcrTrainConfig, gt_facebox, normalised_landmark_errors, train_rcr)
+def load_dataset(model_landmarks):
+    from superviseddescent_tpu.io import read_pts_landmarks
+    from superviseddescent_tpu.models import gt_facebox
     from superviseddescent_tpu.ops.patches import load_gray_image, stack_images
     from superviseddescent_tpu.utils.landmarks import (
-        resolve_eye_indices, to_landmark_collection, to_row)
+        to_landmark_collection, to_row)
 
-    devices = jax.devices()
-    log(f"devices: {devices}")
-
-    data = "/root/reference/examples/data/ibug_lfpw_trainset"
-    cfg_dir = "/root/reference/apps/rcr/data"
-    model_landmarks = read_landmarks_list_to_train(
-        f"{cfg_dir}/rcr_training_22.cfg")
-    right_ids, left_ids = read_ied_definition(f"{cfg_dir}/rcr_eval.cfg")
-    mean68 = load_mean(f"{cfg_dir}/mean_ibug_lfpw_68.txt")
-    ibug_ids = [str(i) for i in range(1, 69)]
-    mean = to_row(to_landmark_collection(mean68, ibug_ids)
-                  .filter(model_landmarks))
-
-    import glob
     images, rows = [], []
-    for png in sorted(glob.glob(f"{data}/*.png")):
+    for png in sorted(glob.glob(f"{DATA}/*.png")):
         lms = read_pts_landmarks(png.replace(".png", ".pts"))
         images.append(load_gray_image(png))
         rows.append(to_row(lms.filter(model_landmarks)))
@@ -57,27 +46,57 @@ def main():
     boxes = np.stack([gt_facebox(to_landmark_collection(r, model_landmarks))
                       for r in gt_rows]).astype(np.float32)
     stack, _ = stack_images(images)
-    log(f"training RCR-22 on {len(images)} images "
-        f"(stack {stack.shape}, {stack.nbytes/1e6:.0f} MB)")
+    return stack, gt_rows, boxes
 
+
+def get_model(model_landmarks, stack, gt_rows, boxes, retrain):
+    from superviseddescent_tpu.io import (
+        load_mean, read_ied_definition)
+    from superviseddescent_tpu.models import DetectionModel, RcrTrainConfig, train_rcr
+    from superviseddescent_tpu.utils.landmarks import (
+        to_landmark_collection, to_row)
+
+    if not retrain and os.path.exists(PRETRAINED):
+        log(f"loading pretrained model {PRETRAINED}")
+        return DetectionModel.load(PRETRAINED)
+
+    right_ids, left_ids = read_ied_definition(f"{CFG_DIR}/rcr_eval.cfg")
+    mean68 = load_mean(f"{CFG_DIR}/mean_ibug_lfpw_68.txt")
+    ibug_ids = [str(i) for i in range(1, 69)]
+    mean = to_row(to_landmark_collection(mean68, ibug_ids)
+                  .filter(model_landmarks))
     t0 = time.time()
     model = train_rcr(stack, gt_rows, boxes, model_landmarks,
-                      right_ids, left_ids, mean,
-                      RcrTrainConfig(seed=0))
-    train_s = time.time() - t0
-    log(f"cascade train: {train_s:.1f}s (incl. compile)")
+                      right_ids, left_ids, mean, RcrTrainConfig(seed=0))
+    log(f"cascade train: {time.time() - t0:.1f}s (incl. compile)")
+    model.save(PRETRAINED)
+    return model
 
-    right_idx, left_idx = resolve_eye_indices(model_landmarks, right_ids,
-                                              left_ids)
-    pred = np.asarray(model.detect_batch(stack, boxes))
-    err = float(np.mean(np.asarray(normalised_landmark_errors(
-        pred, gt_rows, right_idx, left_idx))))
-    log(f"IOD-normalised train-set detect error: {err:.4f}")
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from superviseddescent_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    from superviseddescent_tpu.io import read_landmarks_list_to_train
+    from superviseddescent_tpu.models import normalised_landmark_errors
+    from superviseddescent_tpu.utils.landmarks import resolve_eye_indices
+
+    devices = jax.devices()
+    log(f"devices: {devices}")
+
+    model_landmarks = read_landmarks_list_to_train(
+        f"{CFG_DIR}/rcr_training_22.cfg")
+    stack, gt_rows, boxes = load_dataset(model_landmarks)
+    model = get_model(model_landmarks, stack, gt_rows, boxes,
+                      retrain="--train" in sys.argv)
 
     # ---------------- throughput: batched detect ---------------- #
     batch = 512
-    rng = np.random.default_rng(0)
-    sel = rng.integers(0, len(images), size=batch)
+    n_img = stack.shape[0]
+    sel = np.arange(batch) % n_img
     bench_images = jax.device_put(jnp.asarray(stack[sel]))
     bench_boxes = jax.device_put(jnp.asarray(boxes[sel]))
     idx = jnp.arange(batch, dtype=jnp.int32)
@@ -87,11 +106,19 @@ def main():
         return model.detect_batch(imgs, bxs, image_indices=idx)
 
     t0 = time.time()
-    detect(bench_images, bench_boxes).block_until_ready()
-    log(f"detect compile: {time.time()-t0:.1f}s")
+    out = detect(bench_images, bench_boxes)
+    out.block_until_ready()
+    log(f"detect compile+first: {time.time()-t0:.1f}s")
 
-    # steady state
-    reps = 10
+    # accuracy: every face in the bench batch is one of the 5 LFPW faces
+    right_idx, left_idx = resolve_eye_indices(model_landmarks,
+                                              model.right_eye_ids,
+                                              model.left_eye_ids)
+    err = float(np.mean(np.asarray(normalised_landmark_errors(
+        np.asarray(out), gt_rows[sel], right_idx, left_idx))))
+    log(f"IOD-normalised detect error (train-set faces): {err:.4f}")
+
+    reps = 20
     t0 = time.time()
     for _ in range(reps):
         out = detect(bench_images, bench_boxes)

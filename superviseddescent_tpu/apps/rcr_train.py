@@ -88,6 +88,9 @@ def main(argv=None):
     p.add_argument("--levels", type=int, default=4)
     args = p.parse_args(argv)
 
+    from superviseddescent_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from superviseddescent_tpu import Regulariser, RegularisationType
     from superviseddescent_tpu.io import (
         load_mean, read_landmarks_list_to_train, read_ied_definition)

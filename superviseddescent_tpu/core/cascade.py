@@ -85,20 +85,25 @@ class SupervisedDescentOptimiser:
     # Training
     # ------------------------------------------------------------------ #
     def train(self, parameters, initialisations, templates, projection,
-              on_training_epoch_callback: Optional[Callable] = None):
+              on_training_epoch_callback: Optional[Callable] = None,
+              start_level: int = 0):
         """Learn the cascade from ground truth + initialisations.
 
         Args:
           parameters: (N, P) ground-truth parameter rows (x*).
-          initialisations: (N, P) starting values (x0).
+          initialisations: (N, P) starting values (x0). When resuming
+            (start_level > 0), pass the current estimates after the last
+            completed level instead.
           templates: (N, F) known templates y, or None (see module doc).
           projection: batched h(x, level) -> (N, F).
           on_training_epoch_callback: optional host fn called with the
             current (N, P) predictions after each level.
+          start_level: first level to learn (for checkpoint/resume; levels
+            before it must already hold weights).
 
         Returns:
-          (R, N, P) stacked per-level predictions (the functional analogue of
-          the callback stream).
+          (R', N, P) stacked per-level predictions for the levels trained
+          in this call (the functional analogue of the callback stream).
 
         The cascade levels are inherently sequential (level k+1's features
         depend on level k's outputs) so the outer loop is a Python loop; each
@@ -107,7 +112,7 @@ class SupervisedDescentOptimiser:
         parameters = jnp.asarray(parameters)
         current_x = jnp.asarray(initialisations)
         history = []
-        for level in range(len(self.regressors)):
+        for level in range(start_level, len(self.regressors)):
             features = projection(current_x, level)
             observed = features if templates is None else features - jnp.asarray(templates)
             norm = self.normalisation(current_x)

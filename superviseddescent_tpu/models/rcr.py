@@ -116,10 +116,13 @@ class HogTransform:
                  right_eye_ids: Sequence[str],
                  left_eye_ids: Sequence[str],
                  image_indices=None,
-                 quantize: bool = True):
+                 quantize: bool = True,
+                 backend: str = "auto"):
         """images: (I, H, W) float32 gray stack (see ops.patches.stack_images).
         image_indices: (N,) sample -> image map; defaults to arange or zeros
-        depending on batch size at call time."""
+        depending on batch size at call time.
+        backend: 'pallas' (fused VMEM kernel), 'xla', or 'auto'
+        (pallas on TPU, xla elsewhere)."""
         self.images = jnp.asarray(images)
         if self.images.ndim == 2:
             self.images = self.images[None]
@@ -130,6 +133,11 @@ class HogTransform:
         self.image_indices = (None if image_indices is None
                               else jnp.asarray(image_indices, jnp.int32))
         self.quantize = quantize
+        if backend == "auto":
+            backend = ("pallas" if jax.default_backend() == "tpu" else "xla")
+        if backend not in ("pallas", "xla"):
+            raise ValueError(f"unknown HOG backend: {backend!r}")
+        self.backend = backend
 
     def feature_dim(self, level: int = 0) -> int:
         p = self.hog_params[level]
@@ -163,8 +171,15 @@ class HogTransform:
         patches = extract_patches(
             self.images, self._indices_for(n),
             x[:, :l], x[:, l:], phw, s, quantize=self.quantize)      # (N,L,S,S)
-        desc = hog_descriptor(patches.reshape(n * l, s, s),
-                              p.cell_size, p.num_bins, p.variant)    # (N*L,F1)
+        if self.backend == "pallas":
+            from superviseddescent_tpu.ops.hog_pallas import (
+                hog_descriptor_pallas)
+            desc = hog_descriptor_pallas(
+                patches.reshape(n * l, s, s),
+                p.cell_size, p.num_bins, p.variant)                  # (N*L,F1)
+        else:
+            desc = hog_descriptor(patches.reshape(n * l, s, s),
+                                  p.cell_size, p.num_bins, p.variant)
         desc = desc.reshape(n, -1)
         bias = jnp.ones((n, 1), desc.dtype)
         return jnp.concatenate([desc, bias], axis=1)

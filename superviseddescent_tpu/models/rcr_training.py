@@ -115,7 +115,8 @@ def train_rcr(images, groundtruth_rows, faceboxes,
               mean,
               config: RcrTrainConfig = RcrTrainConfig(),
               image_indices=None,
-              on_epoch=None) -> DetectionModel:
+              on_epoch=None,
+              checkpointer=None) -> DetectionModel:
     """Train an RCR detection model (the rcr-train pipeline, stack §3.3).
 
     Args:
@@ -127,6 +128,11 @@ def train_rcr(images, groundtruth_rows, faceboxes,
       mean: (2L,) mean shape (already reduced to the model landmarks).
       image_indices: (B,) map face -> image in the stack (default arange).
       on_epoch: optional callback(current_predictions) per cascade level.
+      checkpointer: optional io.checkpoint.TrainCheckpointer. Each level's
+        weights + estimates are persisted when its solve completes, and a
+        restarted call resumes from the last completed level (a capability
+        the reference lacks — its weights live only in memory until the
+        final save, SURVEY.md §5).
 
     Returns a trained DetectionModel.
     """
@@ -156,7 +162,34 @@ def train_rcr(images, groundtruth_rows, faceboxes,
                                   method=config.solver_method)
                   for _ in config.hog_params]
     sdo = SupervisedDescentOptimiser(regressors, norm)
-    sdo.train(x_gt, x0, None, hog, on_training_epoch_callback=on_epoch)
+
+    start_level = 0
+    if checkpointer is not None:
+        start_level = min(checkpointer.completed_levels(),
+                          len(config.hog_params))
+        for lvl in range(start_level):
+            w, x_restored = checkpointer.load_level(lvl)
+            sdo.regressors[lvl] = LinearRegressor(
+                weights=jnp.asarray(w),
+                regulariser=config.regularisation,
+                method=config.solver_method)
+            x0 = jnp.asarray(x_restored)
+
+        level_counter = [start_level]
+
+        def _on_epoch_with_ckpt(current_x):
+            lvl = level_counter[0]
+            checkpointer.save_level(
+                lvl, sdo.regressors[lvl].weights, current_x)
+            level_counter[0] += 1
+            if on_epoch is not None:
+                on_epoch(current_x)
+        epoch_cb = _on_epoch_with_ckpt
+    else:
+        epoch_cb = on_epoch
+
+    sdo.train(x_gt, x0, None, hog, on_training_epoch_callback=epoch_cb,
+              start_level=start_level)
 
     return DetectionModel(sdo, mean, list(model_landmarks),
                           tuple(config.hog_params),

@@ -1,0 +1,25 @@
+"""Persistent XLA compilation cache helper.
+
+First compiles of the RCR graphs take minutes through the remote-compile
+tunnel; the persistent cache makes every subsequent process start warm.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def enable_compilation_cache(path: str | None = None,
+                             min_compile_time_secs: float = 5.0) -> str:
+    """Enable jax's persistent compilation cache. Returns the cache dir."""
+    import jax
+
+    if path is None:
+        path = os.environ.get(
+            "SDTPU_JAX_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "sdtpu_xla"))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      min_compile_time_secs)
+    return path
