@@ -99,11 +99,10 @@ def main():
     sel = np.arange(batch) % n_img
     bench_images = jax.device_put(jnp.asarray(stack[sel]))
     bench_boxes = jax.device_put(jnp.asarray(boxes[sel]))
-    idx = jnp.arange(batch, dtype=jnp.int32)
 
-    @jax.jit
-    def detect(imgs, bxs):
-        return model.detect_batch(imgs, bxs, image_indices=idx)
+    # per-level jitted programs: same math as one whole-cascade jit, but the
+    # four small graphs compile minutes (not tens of minutes) on a cold cache
+    detect = model.make_stepped_detector(batch)
 
     t0 = time.time()
     out = detect(bench_images, bench_boxes)

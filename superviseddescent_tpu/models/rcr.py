@@ -36,7 +36,8 @@ from superviseddescent_tpu.io.cereal import (
     save_detection_model as _save_cereal,
 )
 from superviseddescent_tpu.ops.hog import HogVariant, hog_descriptor
-from superviseddescent_tpu.ops.patches import extract_patches
+from superviseddescent_tpu.ops.patches import (
+    extract_patches, extract_patches_dense)
 from superviseddescent_tpu.utils.landmarks import (
     LandmarkCollection, ied_from_rows, resolve_eye_indices,
     to_landmark_collection,
@@ -133,11 +134,15 @@ class HogTransform:
         self.image_indices = (None if image_indices is None
                               else jnp.asarray(image_indices, jnp.int32))
         self.quantize = quantize
+        on_tpu = jax.default_backend() == "tpu"
         if backend == "auto":
-            backend = ("pallas" if jax.default_backend() == "tpu" else "xla")
+            backend = "pallas" if on_tpu else "xla"
         if backend not in ("pallas", "xla"):
             raise ValueError(f"unknown HOG backend: {backend!r}")
         self.backend = backend
+        # patch sampling: dense tent matmuls on the MXU (TPU) vs pointwise
+        # gather (CPU/small problems); both are numerically identical
+        self.patch_method = "dense" if on_tpu else "gather"
 
     def feature_dim(self, level: int = 0) -> int:
         p = self.hog_params[level]
@@ -168,7 +173,9 @@ class HogTransform:
         phw = jnp.floor(p.relative_patch_size * ied / 2.0 + 0.5)
         phw = jnp.maximum(phw, 1.0)
 
-        patches = extract_patches(
+        sampler = (extract_patches_dense if self.patch_method == "dense"
+                   else extract_patches)
+        patches = sampler(
             self.images, self._indices_for(n),
             x[:, :l], x[:, l:], phw, s, quantize=self.quantize)      # (N,L,S,S)
         if self.backend == "pallas":
@@ -243,6 +250,35 @@ class DetectionModel:
                                      image_indices=jnp.arange(batch, dtype=jnp.int32),
                                      quantize=quantize)
         return jax.jit(run)
+
+    def make_stepped_detector(self, batch: int, quantize: bool = True):
+        """Return ``f(images (B,H,W), faceboxes (B,4)) -> (B,2L)`` that runs
+        each cascade level as its OWN jitted program.
+
+        Numerically identical to the monolithic detector, but the four small
+        graphs compile dramatically faster than one whole-cascade graph
+        (minutes vs tens of minutes through the remote compiler) at the cost
+        of ~per-level dispatch overhead. Preferred for cold-start serving.
+        """
+        idx = jnp.arange(batch, dtype=jnp.int32)
+        mean = jnp.asarray(self.mean)
+        levels = []
+        for li, regressor in enumerate(self.sdo.regressors):
+            def level_fn(images, x, _li=li, _reg=regressor):
+                hog = self._hog(images, image_indices=idx, quantize=quantize)
+                observed = hog(x, _li)
+                norm = self.sdo.normalisation(x)
+                return x - _reg.predict(observed) / norm
+            levels.append(jax.jit(level_fn))
+
+        init_fn = jax.jit(lambda boxes: align_mean(mean[None, :], boxes))
+
+        def run(images, faceboxes):
+            x = init_fn(jnp.asarray(faceboxes, jnp.float32))
+            for fn in levels:
+                x = fn(images, x)
+            return x
+        return run
 
     # -------------------------------------------------------------- #
     # Persistence (cereal byte-compatible + native)

@@ -62,6 +62,18 @@ def hog_dimension(variant: HogVariant, num_orientations: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
+def _cell_weights_full(size: int, cell_size: int) -> np.ndarray:
+    """(S, C) tent weights including border pixels (the polar-field entry
+    point accumulates all pixels, hog.c:770-771, unlike put_image)."""
+    n_cells = hog_num_cells(size, cell_size)
+    p = np.arange(size, dtype=np.float64)
+    h = (p + 0.5) / cell_size - 0.5
+    c = np.arange(n_cells, dtype=np.float64)
+    w = np.maximum(0.0, 1.0 - np.abs(h[:, None] - c[None, :]))
+    return w.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
 def _cell_weights(size: int, cell_size: int) -> np.ndarray:
     """(S, C) tent-weight matrix: weight of pixel p onto cell c.
 
@@ -157,6 +169,64 @@ def hog_cells(images: jnp.ndarray, cell_size: int, num_orientations: int
                        precision=jax.lax.Precision.HIGHEST)     # (B,2O,C*C)
     cells = cells.reshape(b, two_o, n_cells, n_cells)
     return jnp.transpose(cells, (0, 2, 3, 1))                   # (B,C,C,2O)
+
+
+def hog_cells_from_polar(modulus: jnp.ndarray, angle: jnp.ndarray,
+                         directed: bool, cell_size: int,
+                         num_orientations: int,
+                         bilinear_orientation: bool = False) -> jnp.ndarray:
+    """Cell histograms from a user-supplied polar gradient field.
+
+    Behavioural rebuild of vl_hog_put_polar_field (hog.c:746-845): angles
+    are measured clockwise from the x axis (y down); they wrap at 2*pi when
+    `directed` else at pi. Unlike the image entry point, ALL pixels
+    contribute (no border exclusion) and orientation assignment rounds the
+    angle to the nearest bin (or splits bilinearly).
+
+    modulus, angle: (B, S, S). Returns (B, C, C, 2*O) — undirected mode
+    populates only the first O channels, matching the C buffer layout.
+    """
+    b, s, s2 = modulus.shape
+    assert s == s2
+    dtype = modulus.dtype
+    o_count = num_orientations
+    two_o = 2 * o_count
+    period = o_count * (2 if directed else 1)
+    n_cells = hog_num_cells(s, cell_size)
+
+    mod = modulus.reshape(b, s * s)
+    ang = angle.reshape(b, s * s)
+    angle_step = np.pi / o_count
+    ho = ang / jnp.asarray(angle_step, dtype)
+    bino = jnp.floor(ho)
+    wo2 = ho - bino
+    wo1 = 1.0 - wo2
+    bino = jnp.mod(bino.astype(jnp.int32), two_o)     # the C while-loop wrap
+
+    mod = jnp.where(mod > 0, mod, 0.0)                # <=0 pixels contribute 0
+    oids = jnp.arange(two_o, dtype=jnp.int32)[None, :, None]
+    if bilinear_orientation:
+        # Reference quirk (hog.c:823-826): the orientation weight is
+        # multiplied into BOTH the wx and wy spatial weights, so each
+        # contribution is scaled by wo^2 (total mass wo1^2 + wo2^2 < 1).
+        # Reproduced bit-for-bit; validated against the C goldens.
+        b0 = jnp.mod(bino, period)[:, None, :]
+        b1 = jnp.mod(bino + 1, period)[:, None, :]
+        w0 = jnp.square(wo1)[:, None, :]
+        w1 = jnp.square(wo2)[:, None, :]
+        g = (mod[:, None, :] * w0 * (b0 == oids).astype(dtype)
+             + mod[:, None, :] * w1 * (b1 == oids).astype(dtype))
+    else:
+        nearest = jnp.mod(bino + (wo1 <= wo2).astype(jnp.int32), period)
+        g = mod[:, None, :] * (nearest[:, None, :] == oids).astype(dtype)
+
+    w = jnp.asarray(_cell_weights_full(s, cell_size))           # (S, C)
+    w2 = jnp.einsum("yc,xd->yxcd", w, w).reshape(
+        s * s, n_cells * n_cells)
+    cells = jnp.einsum("bop,pc->boc", g, jnp.asarray(w2),
+                       precision=jax.lax.Precision.HIGHEST)
+    cells = cells.reshape(b, two_o, n_cells, n_cells)
+    return jnp.transpose(cells, (0, 2, 3, 1))
 
 
 def hog_extract(cells: jnp.ndarray, variant: HogVariant = HogVariant.Uoctti

@@ -151,7 +151,7 @@ def _hog_kernel(p_ref, w_ref, o_ref, *, size, cell_size, num_orientations,
 def hog_descriptor_pallas(patches: jnp.ndarray, cell_size: int,
                           num_orientations: int,
                           variant: HogVariant = HogVariant.Uoctti,
-                          block: int = 32,
+                          block: int = 16,
                           interpret: bool = False) -> jnp.ndarray:
     """(B, S, S) float32 patches -> (B, C*C*D) descriptors, fused in VMEM.
 

@@ -71,4 +71,30 @@ def _solve_from_normal(ata, atb, num_samples, regulariser, method):
         return jax.scipy.linalg.cho_solve(chol, atb)
     if method == "lu":
         return jnp.linalg.solve(ata_reg, atb)
+    if method == "qr":
+        # Diagnostic path, analogous to the reference's
+        # ColPivHouseholderQRSolver (regressors.hpp:245-306): estimates the
+        # rank and warns when the regularised normal matrix is singular
+        # ("Increase lambda"), then solves via the QR factors. Slower than
+        # LU/Cholesky, like the reference's variant.
+        q, r = jnp.linalg.qr(ata_reg)
+        rdiag = jnp.abs(jnp.diagonal(r))
+        n = ata_reg.shape[0]
+        tol = jnp.finfo(ata_reg.dtype).eps * n * jnp.max(rdiag)
+        rank = jnp.sum(rdiag > tol)
+
+        def warn(rank_val, _n):
+            import sys
+            print(f"The regularised AtA is not invertible (rank "
+                  f"{int(rank_val)}, full rank would be {int(_n)}). "
+                  "The solve may return garbage. Increase lambda.",
+                  file=sys.stderr, flush=True)
+
+        jax.lax.cond(
+            rank < n,
+            lambda: jax.debug.callback(warn, rank, jnp.asarray(n)),
+            lambda: None)
+        return jax.scipy.linalg.solve_triangular(
+            r, jnp.dot(q.T, atb, precision=jax.lax.Precision.HIGHEST),
+            lower=False)
     raise ValueError(f"unknown solve method: {method!r}")
