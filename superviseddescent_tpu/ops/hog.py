@@ -111,8 +111,8 @@ def _cell_weights_2d(size: int, cell_size: int) -> np.ndarray:
     return w2.reshape(size * size, n_cells * n_cells).astype(np.float32)
 
 
-def hog_cells(images: jnp.ndarray, cell_size: int, num_orientations: int
-              ) -> jnp.ndarray:
+def hog_cells(images: jnp.ndarray, cell_size: int, num_orientations: int,
+              bilinear_orientation: bool = False) -> jnp.ndarray:
     """Directed-orientation cell histograms.
 
     Args:
@@ -120,6 +120,10 @@ def hog_cells(images: jnp.ndarray, cell_size: int, num_orientations: int
         reference (uint8 images converted to float).
       cell_size: HOG cell size in pixels.
       num_orientations: O undirected orientations (2*O directed bins).
+      bilinear_orientation: split mass between the two closest directed
+        bins (hog.c:674-682; OFF by default like the reference, :185).
+        Reproduces the C's quirk of applying the orientation weight to both
+        spatial factors, i.e. contributions scale with the weight SQUARED.
 
     Returns:
       (B, C, C, 2*O) cell histograms, [cy, cx, bin] — matching the C's
@@ -155,13 +159,34 @@ def hog_cells(images: jnp.ndarray, cell_size: int, num_orientations: int
               + gyn[:, None, :] * ov[1][None, :, None])
     abs_scores = jnp.abs(scores)
     k_best = jnp.argmax(abs_scores, axis=1)                     # (B, P), first max wins
+    best_score = jnp.take_along_axis(abs_scores, k_best[:, None, :],
+                                     axis=1)[:, 0, :]
     sign_neg = jnp.take_along_axis(scores, k_best[:, None, :],
                                    axis=1)[:, 0, :] < 0
     directed = k_best + num_orientations * sign_neg.astype(k_best.dtype)
 
-    # G[b, o, p] = grad * (directed == o), orientation mid-axis
     oids = jnp.arange(two_o, dtype=directed.dtype)[None, :, None]
-    g = grad[:, None, :] * (directed[:, None, :] == oids).astype(dtype)
+    if bilinear_orientation:
+        # second-best directed bin (strict ">" updates -> first max wins)
+        masked = jnp.where(
+            jax.nn.one_hot(k_best, num_orientations, dtype=jnp.bool_,
+                           axis=1), -jnp.inf, abs_scores)
+        k2 = jnp.argmax(masked, axis=1)
+        sign2_neg = jnp.take_along_axis(scores, k2[:, None, :],
+                                        axis=1)[:, 0, :] < 0
+        directed2 = k2 + num_orientations * sign2_neg.astype(k2.dtype)
+        # weights from the angle to the best bin (hog.c:676-678); the C
+        # multiplies the weight into both spatial factors -> squared
+        angle0 = jnp.arccos(jnp.minimum(best_score, 1.0))
+        w1 = angle0 / (np.pi / num_orientations)
+        w0 = 1.0 - w1
+        g = (grad[:, None, :] * jnp.square(w0)[:, None, :]
+             * (directed[:, None, :] == oids).astype(dtype)
+             + grad[:, None, :] * jnp.square(w1)[:, None, :]
+             * (directed2[:, None, :] == oids).astype(dtype))
+    else:
+        # hard assignment: G[b, o, p] = grad * (directed == o)
+        g = grad[:, None, :] * (directed[:, None, :] == oids).astype(dtype)
 
     # one pixels->cells GEMM: (B*2O, P) x (P, C*C)
     w2 = jnp.asarray(_cell_weights_2d(s, cell_size))            # (P, C*C)

@@ -15,9 +15,9 @@ def enable_compilation_cache(path: str | None = None,
     import jax
 
     if path is None:
-        path = os.environ.get(
-            "SDTPU_JAX_CACHE",
-            os.path.join(os.path.expanduser("~"), ".cache", "sdtpu_xla"))
+        repo_cache = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+        path = os.environ.get("SDTPU_JAX_CACHE", repo_cache)
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",

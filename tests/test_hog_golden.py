@@ -63,3 +63,21 @@ def test_hog_batched_consistency():
     for i in range(4):
         single = np.asarray(hog_descriptor(imgs[i:i+1], 6, 4))[0]
         np.testing.assert_allclose(batch[i], single, rtol=1e-6)
+
+
+BILINEAR_GOLDENS = os.path.join(os.path.dirname(__file__), "goldens",
+                                "hog_bilinear_goldens.npz")
+
+
+def test_bilinear_orientation_matches_reference_c():
+    from superviseddescent_tpu.ops.hog import hog_cells
+    data = np.load(BILINEAR_GOLDENS)
+    for i in range(int(data["num_cases"])):
+        variant, num_orient, size, cs, ww, hh, dd = (
+            int(v) for v in data[f"meta_{i}"])
+        cells = hog_cells(data[f"input_{i}"][None].astype(np.float32),
+                          cs, num_orient, bilinear_orientation=True)
+        out = np.asarray(hog_extract(cells, HogVariant(variant)))[0]
+        np.testing.assert_allclose(np.transpose(out, (2, 0, 1)),
+                                   data[f"output_{i}"], rtol=3e-4, atol=3e-5,
+                                   err_msg=f"bilinear case {i}")
