@@ -101,8 +101,15 @@ def main():
     bench_boxes = jax.device_put(jnp.asarray(boxes[sel]))
 
     # per-level jitted programs: same math as one whole-cascade jit, but the
-    # four small graphs compile minutes (not tens of minutes) on a cold cache
-    detect = model.make_stepped_detector(batch)
+    # four small graphs compile minutes (not tens of minutes) on a cold
+    # cache. roi=512 crops a face window first (exact for boxes <= ~320 px;
+    # LFPW boxes here max ~301) so the MXU patch sampling scales with the
+    # window, not the image. fast_sampling uses bf16 multiplies in the
+    # sampling matmuls (worst-case landmark delta ~7e-4 IOD vs the exact
+    # path, mean ~1e-5; the exact path's error is logged below for
+    # comparison).
+    detect = model.make_stepped_detector(batch, roi=512, fast_sampling=True)
+    detect_exact = model.make_stepped_detector(batch, roi=512)
 
     t0 = time.time()
     out = detect(bench_images, bench_boxes)
@@ -116,6 +123,10 @@ def main():
     err = float(np.mean(np.asarray(normalised_landmark_errors(
         np.asarray(out), gt_rows[sel], right_idx, left_idx))))
     log(f"IOD-normalised detect error (train-set faces): {err:.4f}")
+    out_exact = detect_exact(bench_images, bench_boxes)
+    err_exact = float(np.mean(np.asarray(normalised_landmark_errors(
+        np.asarray(out_exact), gt_rows[sel], right_idx, left_idx))))
+    log(f"IOD-normalised detect error, exact-f32 sampling: {err_exact:.4f}")
 
     reps = 20
     t0 = time.time()

@@ -48,15 +48,16 @@ def _hog_kernel(p_ref, w_ref, o_ref, *, size, cell_size, num_orientations,
         [zrow, img[:, 2:, :] - img[:, :-2, :], zrow], axis=1)
 
     grad = jnp.sqrt(gx * gx + gy * gy)
-    inv = 1.0 / jnp.maximum(grad, 1e-10)
-    gxn = gx * inv
-    gyn = gy * inv
 
+    # Hard orientation assignment on UNNORMALISED scores: dividing by the
+    # gradient magnitude (hog.c:645-647) cannot change the argmax or the
+    # sign, so the selected bin is identical and three VMEM-resident arrays
+    # (inv, gxn, gyn) disappear. grad == 0 pixels contribute 0 either way.
     ov = _orientation_vectors(o_count)
     best_score = jnp.zeros_like(grad)
     best_bin = jnp.full(grad.shape, -1, jnp.int32)
     for k in range(o_count):
-        sc = gxn * float(ov[0, k]) + gyn * float(ov[1, k])
+        sc = gx * float(ov[0, k]) + gy * float(ov[1, k])
         neg = sc < 0
         a = jnp.abs(sc)
         bin_k = jnp.where(neg, k + o_count, k)
