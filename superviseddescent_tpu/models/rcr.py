@@ -190,10 +190,10 @@ class HogTransform:
                 self.images, self._indices_for(n),
                 x[:, :l], x[:, l:], phw, s, quantize=self.quantize)
         if self.backend == "pallas":
-            from superviseddescent_tpu.ops.hog_pallas import (
-                hog_descriptor_pallas)
-            desc = hog_descriptor_pallas(
-                patches.reshape(n * l, s, s),
+            from superviseddescent_tpu.ops.hog_pallas_flat import (
+                hog_descriptor_pallas_flat)
+            desc = hog_descriptor_pallas_flat(
+                patches.reshape(n * l, s * s), s,
                 p.cell_size, p.num_bins, p.variant)                  # (N*L,F1)
         else:
             desc = hog_descriptor(patches.reshape(n * l, s, s),

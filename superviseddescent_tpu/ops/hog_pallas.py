@@ -65,20 +65,22 @@ def _hog_kernel(p_ref, w_ref, o_ref, *, size, cell_size, num_orientations,
         best_score = jnp.where(upd, a, best_score)
         best_bin = jnp.where(upd, bin_k, best_bin)
 
-    # separable tent splat: per directed bin, two small matmuls in VMEM.
-    # Contraction order yields cells indexed [b, cx, cy] — exactly the
-    # Matlab-transposed layout the descriptor needs, so no transposes.
+    # separable tent splat. The per-bin masked gradients are stacked along
+    # the leading (batch) axis so the whole splat is TWO dot_generals
+    # instead of 2*O pairs of tiny ones. Contraction order yields cells
+    # indexed [b, cx, cy] — exactly the Matlab-transposed layout the
+    # descriptor needs, so no transposes.
     w = w_ref[:]                                            # (S, C)
-    cell_list = []
-    for o in range(2 * o_count):
-        g_o = jnp.where(best_bin == o, grad, 0.0)           # (BB, Sy, Sx)
-        t1 = jax.lax.dot_general(
-            g_o, w, (((2,), (0,)), ((), ())),
-            preferred_element_type=dtype)                   # (BB, Sy, Cx)
-        c_o = jax.lax.dot_general(
-            t1, w, (((1,), (0,)), ((), ())),
-            preferred_element_type=dtype)                   # (BB, Cx, Cy)
-        cell_list.append(c_o)
+    g_all = jnp.concatenate(
+        [jnp.where(best_bin == o, grad, 0.0)
+         for o in range(2 * o_count)], axis=0)              # (2O*BB, Sy, Sx)
+    t1 = jax.lax.dot_general(
+        g_all, w, (((2,), (0,)), ((), ())),
+        preferred_element_type=dtype)                       # (2O*BB, Sy, Cx)
+    c_all = jax.lax.dot_general(
+        t1, w, (((1,), (0,)), ((), ())),
+        preferred_element_type=dtype)                       # (2O*BB, Cx, Cy)
+    cell_list = [c_all[o * bb:(o + 1) * bb] for o in range(2 * o_count)]
 
     # ---- extract (block normalisation), channels as python lists ---- #
     # arrays are [b, cx, cy]: axis 1 shifts move in x, axis 2 in y
@@ -187,6 +189,8 @@ def hog_descriptor_pallas(patches: jnp.ndarray, cell_size: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
             (padded_b, dims * n_cells, n_cells), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(patches, w)
     return out.reshape(padded_b, feat)[:b]

@@ -154,10 +154,16 @@ def extract_patches_dense(images: jnp.ndarray,
     ax = (cx - patch_half[:, None])[:, :, None] + src[:, None, :]  # (N,L,S)
     ay = (cy - patch_half[:, None])[:, :, None] + src[:, None, :]
 
+    # In fast mode the MXU consumes bf16 anyway; building the (large) tent
+    # matrices directly in bf16 halves their HBM traffic.
+    tent_dtype = (jnp.bfloat16 if precision == jax.lax.Precision.DEFAULT
+                  else dtype)
     rows_iota = jnp.arange(h, dtype=dtype)
     cols_iota = jnp.arange(w, dtype=dtype)
-    ty = jnp.maximum(0.0, 1.0 - jnp.abs(ay[..., None] - rows_iota))  # (N,L,S,H)
-    tx = jnp.maximum(0.0, 1.0 - jnp.abs(ax[..., None] - cols_iota))  # (N,L,S,W)
+    ty = jnp.maximum(0.0, 1.0 - jnp.abs(ay[..., None] - rows_iota)
+                     ).astype(tent_dtype)                            # (N,L,S,H)
+    tx = jnp.maximum(0.0, 1.0 - jnp.abs(ax[..., None] - cols_iota)
+                     ).astype(tent_dtype)                            # (N,L,S,W)
 
     imgs = images[image_indices]                                     # (N,H,W)
     rows = jnp.einsum("nlih,nhw->nliw", ty, imgs, precision=precision,

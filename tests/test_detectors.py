@@ -1,0 +1,82 @@
+"""Detector-variant equivalence: monolithic vs stepped vs ROI-windowed."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from superviseddescent_tpu import Regulariser, RegularisationType
+from superviseddescent_tpu.io import read_pts_landmarks
+from superviseddescent_tpu.models import (
+    HogParams, RcrTrainConfig, gt_facebox, train_rcr,
+)
+from superviseddescent_tpu.ops.hog import HogVariant
+from superviseddescent_tpu.ops.patches import load_gray_image, stack_images
+from superviseddescent_tpu.utils.landmarks import (
+    to_landmark_collection, to_row,
+)
+
+DATA = "/root/reference/examples/data/ibug_lfpw_trainset"
+pytestmark = pytest.mark.skipif(not os.path.isdir(DATA),
+                                reason="reference data absent")
+
+LANDMARKS = ["31", "37", "40", "43", "46", "55", "58", "9"]
+RIGHT_EYE, LEFT_EYE = ["37", "40"], ["43", "46"]
+HOG = (HogParams(HogVariant.Uoctti, 3, 6, 4, 0.7),
+       HogParams(HogVariant.Uoctti, 3, 4, 4, 0.4))
+
+
+@pytest.fixture(scope="module")
+def trained():
+    images, rows = [], []
+    for png in sorted(glob.glob(os.path.join(DATA, "*.png"))):
+        lms = read_pts_landmarks(png.replace(".png", ".pts"))
+        images.append(load_gray_image(png))
+        rows.append(to_row(lms.filter(LANDMARKS)))
+    stack, _ = stack_images(images)
+    gt_rows = np.stack(rows)
+    boxes = np.stack([gt_facebox(to_landmark_collection(r, LANDMARKS))
+                      for r in gt_rows]).astype(np.float32)
+    l = len(LANDMARKS)
+    mean = np.mean([np.concatenate([(r[:l] - b[0]) / b[2] - 0.5,
+                                    (r[l:] - b[1]) / b[3] - 0.5])
+                    for r, b in zip(gt_rows, boxes)], axis=0).astype(np.float32)
+    cfg = RcrTrainConfig(
+        hog_params=HOG, num_perturbations=2, seed=9,
+        regularisation=Regulariser(RegularisationType.MatrixNorm, 0.1, False))
+    model = train_rcr(stack, gt_rows, boxes, LANDMARKS, RIGHT_EYE, LEFT_EYE,
+                      mean, cfg)
+    return model, stack, boxes
+
+
+def test_stepped_matches_monolithic(trained):
+    model, stack, boxes = trained
+    import jax.numpy as jnp
+    mono = np.asarray(model.detect_batch(
+        stack, boxes, image_indices=jnp.arange(len(boxes))))
+    # separate per-level jit programs fuse/round slightly differently
+    stepped = np.asarray(model.make_stepped_detector(len(boxes))(stack, boxes))
+    np.testing.assert_allclose(stepped, mono, atol=0.01)
+
+
+def test_roi_matches_monolithic(trained):
+    model, stack, boxes = trained
+    import jax.numpy as jnp
+    mono = np.asarray(model.detect_batch(
+        stack, boxes, image_indices=jnp.arange(len(boxes))))
+    # boxes max ~300 px; roi 512 is within the 728-wide stack. Window
+    # offsets change f32 summation order in the tent matmuls -> ~0.05 px
+    roi = np.asarray(model.make_stepped_detector(len(boxes), roi=512)(
+        stack, boxes))
+    np.testing.assert_allclose(roi, mono, atol=0.25)
+
+
+def test_fast_sampling_close(trained):
+    model, stack, boxes = trained
+    base = np.asarray(model.make_stepped_detector(len(boxes))(stack, boxes))
+    fast = np.asarray(model.make_stepped_detector(
+        len(boxes), fast_sampling=True)(stack, boxes))
+    # bf16 multiplies: sub-pixel deltas only (on CPU DEFAULT==HIGHEST, so
+    # this is a no-op there; on TPU ~0.1 px)
+    np.testing.assert_allclose(fast, base, atol=0.5)
