@@ -1,0 +1,73 @@
+"""App smoke tests: the three CLIs end-to-end on the bundled data (CPU).
+
+Marked slow-ish (~2-4 min total): a 2-level training run plus detect/track.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+DATA = "/root/reference/examples/data/ibug_lfpw_trainset"
+pytestmark = pytest.mark.skipif(not os.path.isdir(DATA),
+                                reason="reference data absent")
+
+ENV = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+
+
+def run(args, timeout=600):
+    return subprocess.run([sys.executable, "-m"] + args, env=ENV,
+                          capture_output=True, text=True, timeout=timeout)
+
+
+@pytest.fixture(scope="module")
+def trained_model(tmp_path_factory):
+    out = tmp_path_factory.mktemp("apps") / "model.bin"
+    r = run(["superviseddescent_tpu.apps.rcr_train",
+             "-d", DATA, "-t", DATA, "-o", str(out),
+             "--levels", "2", "--num-perturbations", "2", "--seed", "1"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Normalised LM-error test:" in r.stdout
+    assert os.path.exists(out)
+    assert os.path.exists(str(out).replace(".bin", ".error.txt"))
+    return out
+
+
+def test_rcr_train_output(trained_model):
+    # training prints per-level residuals and saves a loadable model
+    from superviseddescent_tpu.models import DetectionModel
+    model = DetectionModel.load(trained_model)
+    assert len(model.sdo.regressors) == 2
+    assert len(model.landmark_ids) == 22
+
+
+def test_rcr_detect(trained_model, tmp_path):
+    out_png = tmp_path / "det.png"
+    r = run(["superviseddescent_tpu.apps.rcr_detect",
+             "-m", str(trained_model),
+             "-i", os.path.join(DATA, "image_0001.png"),
+             "--pts", os.path.join(DATA, "image_0001.pts"),
+             "-o", str(out_png)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    # prints one "<name>: x y" line per landmark
+    lines = [l for l in r.stdout.splitlines() if ": " in l]
+    assert len(lines) >= 22
+    assert out_png.exists()
+
+
+def test_rcr_detect_requires_box(trained_model):
+    r = run(["superviseddescent_tpu.apps.rcr_detect",
+             "-m", str(trained_model),
+             "-i", os.path.join(DATA, "image_0001.png")])
+    assert r.returncode == 1
+    assert "facebox" in r.stdout
+
+
+def test_rcr_track(trained_model):
+    r = run(["superviseddescent_tpu.apps.rcr_track",
+             "-m", str(trained_model), "-f", DATA,
+             "--facebox", "93,165,256,256"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert r.stdout.count("frame ") == 5
+    assert "fit" in r.stdout
