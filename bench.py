@@ -94,7 +94,7 @@ def main():
                       retrain="--train" in sys.argv)
 
     # ---------------- throughput: batched detect ---------------- #
-    batch = 512
+    batch = 1024
     n_img = stack.shape[0]
     sel = np.arange(batch) % n_img
     bench_images = jax.device_put(jnp.asarray(stack[sel]))
@@ -108,8 +108,9 @@ def main():
     # sampling matmuls (worst-case landmark delta ~7e-4 IOD vs the exact
     # path, mean ~1e-5; the exact path's error is logged below for
     # comparison).
-    detect = model.make_stepped_detector(batch, roi=512, fast_sampling=True)
-    detect_exact = model.make_stepped_detector(batch, roi=512)
+    detect = model.make_stepped_detector(batch, roi=512, sampling="fast")
+    detect_exact = model.make_stepped_detector(batch, roi=512,
+                                               sampling="exact")
 
     t0 = time.time()
     out = detect(bench_images, bench_boxes)

@@ -119,16 +119,25 @@ class HogTransform:
                  image_indices=None,
                  quantize: bool = True,
                  backend: str = "auto",
-                 fast_sampling: bool = False):
+                 fast_sampling: bool = False,
+                 sampling: Optional[str] = None,
+                 chunk_size: Optional[int] = None):
         """images: (I, H, W) float32 gray stack (see ops.patches.stack_images).
         image_indices: (N,) sample -> image map; defaults to arange or zeros
         depending on batch size at call time.
         backend: 'pallas' (fused VMEM kernel), 'xla', or 'auto'
         (pallas on TPU, xla elsewhere).
-        fast_sampling: use bf16 multiplies in the dense patch-sampling
-        matmuls (~3x faster on the MXU). Pixel error is below the uint8
-        quantisation step for most pixels (+-1 greylevel worst case);
-        landmark deltas are ~1e-5 IOD units. Off by default (exact f32)."""
+        sampling: MXU precision of the dense patch-sampling matmuls:
+          'exact' (f32, default), 'high' (bf16x3 passes: ~2x faster,
+          <0.006 greylevel pixel error — below the uint8 quantisation step),
+          'fast' (bf16: ~3x faster, +-1 greylevel worst case, landmark
+          deltas ~1e-5 IOD units).
+        fast_sampling: back-compat alias for sampling='fast'.
+        chunk_size: process the sample axis in lax.map chunks of this size.
+        Required for 300-W-scale training batches (tens of thousands of
+        samples x 8801 features): bounds peak memory to one chunk's patch
+        and tent intermediates while the (N, F) feature matrix still
+        materialises once. Pass a uint8 image stack to quarter image HBM."""
         self.images = jnp.asarray(images)
         if self.images.ndim == 2:
             self.images = self.images[None]
@@ -148,8 +157,14 @@ class HogTransform:
         # patch sampling: dense tent matmuls on the MXU (TPU) vs pointwise
         # gather (CPU/small problems); both are numerically identical
         self.patch_method = "dense" if on_tpu else "gather"
-        self.sampling_precision = (jax.lax.Precision.DEFAULT if fast_sampling
-                                   else jax.lax.Precision.HIGHEST)
+        if sampling is None:
+            sampling = "fast" if fast_sampling else "exact"
+        self.sampling_precision = {
+            "exact": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "fast": jax.lax.Precision.DEFAULT,
+        }[sampling]
+        self.chunk_size = chunk_size
 
     def feature_dim(self, level: int = 0) -> int:
         p = self.hog_params[level]
@@ -170,6 +185,32 @@ class HogTransform:
             f"{self.images.shape[0]} images; pass image_indices")
 
     def __call__(self, x: jnp.ndarray, level: int) -> jnp.ndarray:
+        n = x.shape[0]
+        if self.chunk_size is not None and n > self.chunk_size:
+            return self._call_chunked(x, level)
+        return self._call_block(x, level, self._indices_for(n))
+
+    def _call_chunked(self, x, level):
+        """lax.map over fixed-size sample chunks: one compiled body, peak
+        memory bounded by the chunk's intermediates."""
+        n = x.shape[0]
+        c = self.chunk_size
+        indices = self._indices_for(n)
+        padded = -(-n // c) * c
+        if padded != n:
+            # pad with copies of row 0 (valid coordinates), dropped below
+            x = jnp.concatenate([x, jnp.tile(x[:1], (padded - n, 1))])
+            indices = jnp.concatenate(
+                [indices, jnp.tile(indices[:1], (padded - n,))])
+        x_chunks = x.reshape(padded // c, c, -1)
+        idx_chunks = indices.reshape(padded // c, c)
+        out = jax.lax.map(
+            lambda args: self._call_block(args[0], level, args[1]),
+            (x_chunks, idx_chunks))
+        return out.reshape(padded, -1)[:n]
+
+    def _call_block(self, x: jnp.ndarray, level: int,
+                    image_indices) -> jnp.ndarray:
         p = self.hog_params[level]
         n, two_l = x.shape
         l = two_l // 2
@@ -182,12 +223,12 @@ class HogTransform:
 
         if self.patch_method == "dense":
             patches = extract_patches_dense(
-                self.images, self._indices_for(n),
+                self.images, image_indices,
                 x[:, :l], x[:, l:], phw, s, quantize=self.quantize,
                 precision=self.sampling_precision)                   # (N,L,S,S)
         else:
             patches = extract_patches(
-                self.images, self._indices_for(n),
+                self.images, image_indices,
                 x[:, :l], x[:, l:], phw, s, quantize=self.quantize)
         if self.backend == "pallas":
             from superviseddescent_tpu.ops.hog_pallas_flat import (
@@ -223,11 +264,11 @@ class DetectionModel:
     # Inference
     # -------------------------------------------------------------- #
     def _hog(self, images, image_indices=None, quantize=True,
-             fast_sampling=False):
+             sampling=None):
         return HogTransform(images, self.hog_params, self.landmark_ids,
                             self.right_eye_ids, self.left_eye_ids,
                             image_indices=image_indices, quantize=quantize,
-                            fast_sampling=fast_sampling)
+                            sampling=sampling)
 
     def detect(self, image, facebox) -> LandmarkCollection:
         """Detect landmarks in one image from a facebox (x, y, w, h)
@@ -266,7 +307,8 @@ class DetectionModel:
 
     def make_stepped_detector(self, batch: int, quantize: bool = True,
                               roi: Optional[int] = None,
-                              fast_sampling: bool = False):
+                              fast_sampling: bool = False,
+                              sampling: Optional[str] = None):
         """Return ``f(images (B,H,W), faceboxes (B,4)) -> (B,2L)`` that runs
         each cascade level as its OWN jitted program.
 
@@ -283,13 +325,15 @@ class DetectionModel:
         ~1.6x the largest facebox side. Windows are clamped inside the
         image, so image-border zero-padding semantics are preserved.
         """
+        if sampling is None:
+            sampling = "fast" if fast_sampling else "exact"
         idx = jnp.arange(batch, dtype=jnp.int32)
         mean = jnp.asarray(self.mean)
         levels = []
         for li, regressor in enumerate(self.sdo.regressors):
             def level_fn(images, x, _li=li, _reg=regressor):
                 hog = self._hog(images, image_indices=idx, quantize=quantize,
-                                fast_sampling=fast_sampling)
+                                sampling=sampling)
                 observed = hog(x, _li)
                 norm = self.sdo.normalisation(x)
                 return x - _reg.predict(observed) / norm

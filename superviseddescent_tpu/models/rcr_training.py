@@ -106,6 +106,9 @@ class RcrTrainConfig:
     seed: int = 0
     solver_method: str = "lu"
     quantize_patches: bool = True
+    # chunk the per-level feature extraction (lax.map) — required for
+    # 300-W-scale sample counts; None = single block
+    feature_chunk_size: Optional[int] = None
 
 
 def train_rcr(images, groundtruth_rows, faceboxes,
@@ -155,7 +158,8 @@ def train_rcr(images, groundtruth_rows, faceboxes,
     hog = HogTransform(images, config.hog_params, model_landmarks,
                        right_eye_ids, left_eye_ids,
                        image_indices=sample_image_indices,
-                       quantize=config.quantize_patches)
+                       quantize=config.quantize_patches,
+                       chunk_size=config.feature_chunk_size)
     norm = InterEyeDistanceNormalisation(model_landmarks, right_eye_ids,
                                          left_eye_ids)
     regressors = [LinearRegressor(regulariser=config.regularisation,

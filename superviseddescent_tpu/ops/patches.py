@@ -63,7 +63,7 @@ def extract_patches(images: jnp.ndarray,
     Returns:
       (N, L, S, S) float32 patches.
     """
-    dtype = images.dtype
+    dtype = (jnp.float32 if images.dtype == jnp.uint8 else images.dtype)
     n, l = centers_x.shape
     h, w = images.shape[1], images.shape[2]
 
@@ -94,7 +94,7 @@ def extract_patches(images: jnp.ndarray,
         """(N, L, S) row indices -> (N, L, S, W) rows, zero outside."""
         inb = ((iy >= 0) & (iy < h))[..., None]
         iyc = jnp.clip(iy, 0, h - 1)
-        vals = images[image_indices[:, None, None], iyc, :]
+        vals = images[image_indices[:, None, None], iyc, :].astype(dtype)
         return jnp.where(inb, vals, jnp.asarray(0.0, dtype))
 
     # mix the two source rows per output row while still in row space
@@ -144,7 +144,9 @@ def extract_patches_dense(images: jnp.ndarray,
     """
     if precision is None:
         precision = jax.lax.Precision.HIGHEST
-    dtype = images.dtype
+    # uint8 image stacks are supported (4x less HBM for big training sets);
+    # pixels are exact in f32/bf16 either way
+    dtype = (jnp.float32 if images.dtype == jnp.uint8 else images.dtype)
     n, l = centers_x.shape
     h, w = images.shape[1], images.shape[2]
 
@@ -165,7 +167,7 @@ def extract_patches_dense(images: jnp.ndarray,
     tx = jnp.maximum(0.0, 1.0 - jnp.abs(ax[..., None] - cols_iota)
                      ).astype(tent_dtype)                            # (N,L,S,W)
 
-    imgs = images[image_indices]                                     # (N,H,W)
+    imgs = images[image_indices].astype(dtype)                       # (N,H,W)
     rows = jnp.einsum("nlih,nhw->nliw", ty, imgs, precision=precision,
                       preferred_element_type=dtype)
     out = jnp.einsum("nliw,nljw->nlij", rows, tx, precision=precision,
@@ -206,19 +208,23 @@ def load_gray_image(path):
     return arr.astype(np.float32)
 
 
-def stack_images(gray_images):
+def stack_images(gray_images, dtype=None):
     """Zero-pad a list of (H_i, W_i) images into one (I, Hmax, Wmax) stack.
 
     Zero padding preserves the reference's zero-border patch semantics for
     out-of-image crops, so differently-sized training images batch cleanly.
     Returns (stack, sizes) where sizes is (I, 2) [h, w].
+
+    dtype: np.float32 (default) or np.uint8 — uint8 quarters the device
+    memory of big training stacks; the samplers cast per chunk.
     """
     import numpy as np
+    dtype = dtype or np.float32
     hmax = max(im.shape[0] for im in gray_images)
     wmax = max(im.shape[1] for im in gray_images)
-    stack = np.zeros((len(gray_images), hmax, wmax), np.float32)
+    stack = np.zeros((len(gray_images), hmax, wmax), dtype)
     sizes = np.zeros((len(gray_images), 2), np.int32)
     for i, im in enumerate(gray_images):
-        stack[i, :im.shape[0], :im.shape[1]] = im
+        stack[i, :im.shape[0], :im.shape[1]] = np.asarray(im, dtype)
         sizes[i] = im.shape
     return stack, sizes

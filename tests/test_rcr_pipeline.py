@@ -139,6 +139,54 @@ def test_hog_transform_feature_dim():
 
 
 @needs_data
+def test_hog_transform_chunked_matches_block():
+    # lax.map chunking (incl. a ragged final chunk) must be a pure memory
+    # optimisation: identical features to the single-block path.
+    stack, rows = load_small_dataset()
+    rows3 = np.concatenate([rows, rows[:2] + 1.5, rows[1:4] - 2.0])  # N=10
+    idx = np.concatenate([np.arange(5), [0, 1], [1, 2, 3]]).astype(np.int32)
+    # quantize=False: the only allowed difference is float rounding from
+    # the lax.map body compiling as one fused program
+    hog = HogTransform(stack, SMALL_HOG, SMALL_LANDMARKS, RIGHT_EYE,
+                       LEFT_EYE, image_indices=idx, quantize=False)
+    hog_chunked = HogTransform(stack, SMALL_HOG, SMALL_LANDMARKS, RIGHT_EYE,
+                               LEFT_EYE, image_indices=idx, quantize=False,
+                               chunk_size=4)
+    for level in range(2):
+        a = np.asarray(hog(jnp.asarray(rows3), level))
+        b = np.asarray(hog_chunked(jnp.asarray(rows3), level))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+    # with uint8 quantization, ~1e-5 sampler rounding differences can flip
+    # pixels sitting on a .5 boundary (same effect class as fast sampling:
+    # +-1 greylevel); descriptors must stay close and mostly identical
+    hq = HogTransform(stack, SMALL_HOG, SMALL_LANDMARKS, RIGHT_EYE,
+                      LEFT_EYE, image_indices=idx)
+    hq_chunked = HogTransform(stack, SMALL_HOG, SMALL_LANDMARKS, RIGHT_EYE,
+                              LEFT_EYE, image_indices=idx, chunk_size=4)
+    a = np.asarray(hq(jnp.asarray(rows3), 0))
+    b = np.asarray(hq_chunked(jnp.asarray(rows3), 0))
+    np.testing.assert_allclose(a, b, atol=0.05)
+
+
+@needs_data
+def test_uint8_stack_matches_float32():
+    # uint8 image stacks (4x less HBM) are lossless for integer gray pixels.
+    images = [load_gray_image(p)
+              for p in sorted(glob.glob(os.path.join(DATA, "*.png")))]
+    _, rows = load_small_dataset()
+    stack_f32, _ = stack_images(images)
+    stack_u8, _ = stack_images(images, dtype=np.uint8)
+    assert stack_u8.dtype == np.uint8
+    np.testing.assert_array_equal(stack_u8.astype(np.float32), stack_f32)
+    hf = HogTransform(stack_f32, SMALL_HOG, SMALL_LANDMARKS, RIGHT_EYE,
+                      LEFT_EYE)
+    hu = HogTransform(stack_u8, SMALL_HOG, SMALL_LANDMARKS, RIGHT_EYE,
+                      LEFT_EYE)
+    x = jnp.asarray(rows)
+    np.testing.assert_array_equal(np.asarray(hf(x, 0)), np.asarray(hu(x, 0)))
+
+
+@needs_data
 def test_rcr_end_to_end_train_detect_roundtrip(tmp_path):
     stack, gt_rows = load_small_dataset()
     boxes = np.stack([
