@@ -5,6 +5,12 @@ from superviseddescent_tpu.io.infocfg import (
     read_landmarks_list_to_train,
     read_ied_definition,
 )
+from superviseddescent_tpu.io.boost_mat import (
+    dumps_mats,
+    loads_mats,
+    save_mats,
+    load_mats,
+)
 from superviseddescent_tpu.io.cereal import (
     CerealDetectionModel,
     CerealRegressor,
@@ -24,4 +30,8 @@ __all__ = [
     "CerealHoGParam",
     "save_detection_model",
     "load_detection_model",
+    "dumps_mats",
+    "loads_mats",
+    "save_mats",
+    "load_mats",
 ]

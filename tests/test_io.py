@@ -131,3 +131,46 @@ def test_cereal_truncation_error(tmp_path):
     path.write_bytes(b"\x03\x00\x00")
     with pytest.raises(ValueError, match="truncated"):
         load_detection_model(path)
+
+
+def test_boost_mat_roundtrip(tmp_path):
+    from superviseddescent_tpu.io import save_mats, load_mats, dumps_mats
+
+    rng = np.random.default_rng(7)
+    mats = [rng.normal(size=(3, 5)).astype(np.float32),
+            rng.integers(0, 255, size=(4, 4)).astype(np.uint8),
+            rng.normal(size=(1, 7)).astype(np.float64)]
+    p = tmp_path / "mats.boost.bin"
+    save_mats(p, mats)
+    out = load_mats(p)
+    assert len(out) == 3
+    for a, b in zip(mats, out):
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(a, b)
+
+    # documented header framing (mat_serialization.hpp field order behind
+    # a boost binary_oarchive header)
+    blob = dumps_mats(mats[:1], library_version=17)
+    assert blob[:8] == (22).to_bytes(8, "little")
+    assert blob[8:30] == b"serialization::archive"
+    assert blob[30:32] == (17).to_bytes(2, "little")
+    assert blob[32:34] == b"\x00\x00"            # tracking, class version
+    import struct as _s
+    rows, cols, typ, cont = _s.unpack("<iii?", blob[34:47])
+    assert (rows, cols, typ, cont) == (3, 5, 5, True)
+
+
+def test_boost_mat_old_class_preamble():
+    # very old boost binary archives encode the class version as u32
+    from superviseddescent_tpu.io import dumps_mats, loads_mats
+    m = np.arange(6, dtype=np.float32).reshape(2, 3)
+    blob = dumps_mats([m])
+    old = blob[:32] + b"\x00" + (0).to_bytes(4, "little") + blob[34:]
+    out = loads_mats(old)
+    np.testing.assert_array_equal(out[0], m)
+
+
+def test_boost_mat_bad_signature():
+    from superviseddescent_tpu.io import loads_mats
+    with pytest.raises(ValueError):
+        loads_mats(b"\x05\x00\x00\x00\x00\x00\x00\x00hello")
