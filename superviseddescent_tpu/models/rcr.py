@@ -349,6 +349,12 @@ class DetectionModel:
                 return x
             return run
 
+        # fast mode keeps the windows in bf16: gray pixels 0..255 are exact
+        # in bf16 and a DEFAULT-precision dot casts to bf16 anyway, so this
+        # halves the per-level window reads with zero numeric change. The
+        # input stack may be uint8 (4x less transfer + crop bandwidth).
+        win_dtype = jnp.bfloat16 if sampling == "fast" else jnp.float32
+
         @jax.jit
         def crop_fn(images, boxes):
             h, w = images.shape[1], images.shape[2]
@@ -363,7 +369,8 @@ class DetectionModel:
             windows = jax.vmap(
                 lambda img, y0, x0: jax.lax.dynamic_slice(
                     img, (y0, x0), (roi, roi)))(images, oy, ox)
-            return windows, ox.astype(jnp.float32), oy.astype(jnp.float32)
+            return (windows.astype(win_dtype),
+                    ox.astype(jnp.float32), oy.astype(jnp.float32))
 
         n_lm = len(self.landmark_ids)
 
