@@ -105,14 +105,16 @@ def main():
     # per-level jitted programs: same math as one whole-cascade jit, but the
     # four small graphs compile minutes (not tens of minutes) on a cold
     # cache. roi=512 crops a face window first (exact for boxes <= ~320 px;
-    # LFPW boxes here max ~301) so the MXU patch sampling scales with the
-    # window, not the image. fast_sampling uses bf16 multiplies in the
-    # sampling matmuls (worst-case landmark delta ~7e-4 IOD vs the exact
-    # path, mean ~1e-5; the exact path's error is logged below for
-    # comparison).
-    detect = model.make_stepped_detector(batch, roi=512, sampling="fast")
+    # LFPW boxes here max ~301) so patch sampling scales with the window,
+    # not the image. window_sampler = the Pallas window-resident sampler
+    # (tents never touch HBM); sampling="fast" uses bf16 multiplies
+    # (worst-case landmark delta ~7e-4 IOD vs the exact path, mean ~1e-5;
+    # the exact path's error is logged below for comparison).
+    detect = model.make_stepped_detector(batch, roi=512, sampling="fast",
+                                         window_sampler=True)
     detect_exact = model.make_stepped_detector(batch, roi=512,
-                                               sampling="exact")
+                                               sampling="exact",
+                                               window_sampler=True)
 
     t0 = time.time()
     out = detect(bench_images, bench_boxes)

@@ -121,7 +121,9 @@ class HogTransform:
                  backend: str = "auto",
                  fast_sampling: bool = False,
                  sampling: Optional[str] = None,
-                 chunk_size: Optional[int] = None):
+                 chunk_size: Optional[int] = None,
+                 patch_backend: Optional[str] = None,
+                 sub_windows: Optional[Sequence[int]] = None):
         """images: (I, H, W) float32 gray stack (see ops.patches.stack_images).
         image_indices: (N,) sample -> image map; defaults to arange or zeros
         depending on batch size at call time.
@@ -137,7 +139,14 @@ class HogTransform:
         Required for 300-W-scale training batches (tens of thousands of
         samples x 8801 features): bounds peak memory to one chunk's patch
         and tent intermediates while the (N, F) feature matrix still
-        materialises once. Pass a uint8 image stack to quarter image HBM."""
+        materialises once. Pass a uint8 image stack to quarter image HBM.
+        patch_backend: None/'auto' (dense on TPU, gather elsewhere),
+        'dense', 'gather', or 'window' — the Pallas window-resident sampler
+        (ops/patches_pallas.py): requires one image per sample (per-face
+        ROI windows) and per-level sub_windows sizes; its tent matrices
+        never touch HBM, making it the fastest serving path.
+        sub_windows: per-level static sub-window sides W for the 'window'
+        backend (patch extent 2*phw+1 must fit in W)."""
         self.images = jnp.asarray(images)
         if self.images.ndim == 2:
             self.images = self.images[None]
@@ -156,7 +165,14 @@ class HogTransform:
         self.backend = backend
         # patch sampling: dense tent matmuls on the MXU (TPU) vs pointwise
         # gather (CPU/small problems); both are numerically identical
-        self.patch_method = "dense" if on_tpu else "gather"
+        if patch_backend in (None, "auto"):
+            patch_backend = "dense" if on_tpu else "gather"
+        if patch_backend not in ("dense", "gather", "window"):
+            raise ValueError(f"unknown patch backend: {patch_backend!r}")
+        if patch_backend == "window" and sub_windows is None:
+            sub_windows = tuple(0 for _ in self.hog_params)
+        self.patch_method = patch_backend
+        self.sub_windows = None if sub_windows is None else tuple(sub_windows)
         if sampling is None:
             sampling = "fast" if fast_sampling else "exact"
         self.sampling_precision = {
@@ -221,7 +237,18 @@ class HogTransform:
         phw = jnp.floor(p.relative_patch_size * ied / 2.0 + 0.5)
         phw = jnp.maximum(phw, 1.0)
 
-        if self.patch_method == "dense":
+        if self.patch_method == "window":
+            from superviseddescent_tpu.ops.patches_pallas import (
+                sample_patches_window)
+            if self.images.shape[0] != n:
+                raise ValueError(
+                    "the window sampler needs one ROI window per sample "
+                    f"(got {self.images.shape[0]} windows, batch {n})")
+            patches = sample_patches_window(
+                self.images, x[:, :l], x[:, l:], phw, s,
+                sub_window=self.sub_windows[level],
+                quantize=self.quantize)                              # (N,L,S,S)
+        elif self.patch_method == "dense":
             patches = extract_patches_dense(
                 self.images, image_indices,
                 x[:, :l], x[:, l:], phw, s, quantize=self.quantize,
@@ -264,11 +291,12 @@ class DetectionModel:
     # Inference
     # -------------------------------------------------------------- #
     def _hog(self, images, image_indices=None, quantize=True,
-             sampling=None):
+             sampling=None, patch_backend=None, sub_windows=None):
         return HogTransform(images, self.hog_params, self.landmark_ids,
                             self.right_eye_ids, self.left_eye_ids,
                             image_indices=image_indices, quantize=quantize,
-                            sampling=sampling)
+                            sampling=sampling, patch_backend=patch_backend,
+                            sub_windows=sub_windows)
 
     def detect(self, image, facebox) -> LandmarkCollection:
         """Detect landmarks in one image from a facebox (x, y, w, h)
@@ -308,7 +336,9 @@ class DetectionModel:
     def make_stepped_detector(self, batch: int, quantize: bool = True,
                               roi: Optional[int] = None,
                               fast_sampling: bool = False,
-                              sampling: Optional[str] = None):
+                              sampling: Optional[str] = None,
+                              window_sampler: bool = False,
+                              max_ied: Optional[float] = None):
         """Return ``f(images (B,H,W), faceboxes (B,4)) -> (B,2L)`` that runs
         each cascade level as its OWN jitted program.
 
@@ -324,16 +354,35 @@ class DetectionModel:
         landmark patch stays inside the window: R should be at least
         ~1.6x the largest facebox side. Windows are clamped inside the
         image, so image-border zero-padding semantics are preserved.
+
+        window_sampler: use the Pallas window-resident sampler
+        (ops/patches_pallas.py) instead of the dense XLA sampler — its tent
+        matrices never touch HBM. Requires roi. Per-level sub-windows are
+        sized from max_ied (default roi/2.13, the largest IED whose 1.6x
+        facebox still fits the ROI); patches of faces beyond max_ied are
+        silently truncated at the sub-window edge.
         """
         if sampling is None:
             sampling = "fast" if fast_sampling else "exact"
+        if window_sampler and roi is None:
+            raise ValueError("window_sampler requires roi")
+        sub_windows = None
+        if window_sampler:
+            mi = max_ied if max_ied is not None else roi / 2.13
+            # vertical patch extent + 8 alignment slack + rounding margin
+            sub_windows = tuple(
+                min(roi, -(-int(p.relative_patch_size * mi + 14) // 8) * 8)
+                for p in self.hog_params)
         idx = jnp.arange(batch, dtype=jnp.int32)
         mean = jnp.asarray(self.mean)
         levels = []
         for li, regressor in enumerate(self.sdo.regressors):
             def level_fn(images, x, _li=li, _reg=regressor):
-                hog = self._hog(images, image_indices=idx, quantize=quantize,
-                                sampling=sampling)
+                hog = self._hog(
+                    images, image_indices=idx, quantize=quantize,
+                    sampling=sampling,
+                    patch_backend="window" if window_sampler else None,
+                    sub_windows=sub_windows)
                 observed = hog(x, _li)
                 norm = self.sdo.normalisation(x)
                 return x - _reg.predict(observed) / norm

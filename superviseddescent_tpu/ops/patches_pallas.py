@@ -1,0 +1,152 @@
+"""Pallas window-resident patch sampler (the fast serving sampler).
+
+Third-generation patch extraction. The dense XLA sampler
+(ops/patches.py::extract_patches_dense) is mathematically right for the
+MXU but materialises its (N, L, S, R) tent and row intermediates in HBM —
+at serving batch sizes that traffic (~10 GB/level) dominates the detect
+cascade. This kernel keeps everything after the window read in VMEM:
+
+  * the per-face ROI window (R x R, bf16) streams HBM -> VMEM once per
+    level through the normal pallas pipeline (one grid step per sample);
+  * per landmark, a W-row full-width sub-window around the patch is
+    sliced out of VMEM (8-aligned dynamic sublane offset), and the two
+    bilinear tent matrices are built in-register from iota — they never
+    exist in HBM;
+  * the patch is two small MXU dots, ty @ sub @ tx^T, quantised in f32.
+
+Numerics match extract_patches_dense(precision=DEFAULT) (bf16 multiplies,
+f32 accumulation): same cv::resize source grid incl. the crop-space clamp,
+same rounded centers, same zero-pad-outside-window semantics. Sum-order
+inside the dots can differ from XLA's, so quantised pixels sitting exactly
+on a .5 boundary may flip by 1 greylevel (same class of difference as the
+documented fast-sampling behaviour).
+
+Exactness caveat (mirrors the `roi` caveat in DetectionModel): a patch is
+sampled correctly iff its extent 2*patch_half+1 fits in the static
+sub-window side W. Pick W per cascade level from the level's
+relative_patch_size and the largest expected IED.
+
+Reference behaviour being reproduced: adaptive_vlhog.hpp:131-157
+(crop/copyMakeBorder/resize -> HOG input), recast as TPU window DMA +
+in-VMEM tent matmuls instead of per-landmark OpenCV calls.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _sampler_kernel(oxy_ref, sp_ref, win_ref, o_ref, *,
+                    num_landmarks, out_size, sub_window, roi, quantize,
+                    fast):
+    s, w, r = out_size, sub_window, roi
+    l = num_landmarks
+
+    st = sp_ref[0, 0, 0]                  # resize step 2*phw/S
+    ph = sp_ref[0, 0, 1]                  # patch_half
+    # cv::resize source grid within the crop, clamped to the crop
+    # (ops/patches.py::_src_coords)
+    j = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0).astype(jnp.float32)
+    src = jnp.clip((j + 0.5) * st - 0.5, 0.0, 2.0 * ph - 1.0)   # (S,1)
+    src0 = src[0, 0]
+
+    # sub-windows subset SUBLANES only (y): Mosaic requires dynamic sublane
+    # offsets to be 8-aligned, which the tent coords absorb; lanes (x) stay
+    # full-width so no 128-lane alignment tax applies
+    uy = jax.lax.broadcasted_iota(jnp.int32, (s, w), 1
+                                  ).astype(jnp.float32)         # (S,W)
+    ux = jax.lax.broadcasted_iota(jnp.int32, (s, r), 1
+                                  ).astype(jnp.float32)         # (S,R)
+    mm_dtype = jnp.bfloat16 if fast else jnp.float32
+    precision = (jax.lax.Precision.DEFAULT if fast
+                 else jax.lax.Precision.HIGHEST)
+
+    for lm in range(l):
+        by = oxy_ref[0, 0, lm]            # crop origin, window space
+        bx = oxy_ref[0, 0, l + lm]
+        oy = jnp.clip(jnp.floor(by + src0), 0.0, float(r - w)
+                      ).astype(jnp.int32)
+        oy = (oy // 8) * 8
+        sub = win_ref[0, pl.ds(oy, w), :].astype(mm_dtype)      # (W,R)
+
+        cy = by + src - oy.astype(jnp.float32)                  # (S,1)
+        cx = bx + src
+        ty = jnp.maximum(0.0, 1.0 - jnp.abs(cy - uy)).astype(mm_dtype)
+        tx = jnp.maximum(0.0, 1.0 - jnp.abs(cx - ux)).astype(mm_dtype)
+
+        rows = jax.lax.dot_general(                             # (S,R) f32
+            ty, sub, (((1,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32)
+        patch = jax.lax.dot_general(                            # (S,S) f32
+            rows.astype(mm_dtype), tx, (((1,), (1,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32)
+        if quantize:
+            patch = jnp.clip(jnp.floor(patch + 0.5), 0.0, 255.0)
+        o_ref[0, lm] = patch
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "out_size", "sub_window", "quantize", "interpret"))
+def sample_patches_window(windows: jnp.ndarray,
+                          centers_x: jnp.ndarray,
+                          centers_y: jnp.ndarray,
+                          patch_half: jnp.ndarray,
+                          out_size: int,
+                          sub_window: int = 0,
+                          quantize: bool = True,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Sample (N, L, S, S) patches from per-sample ROI windows.
+
+    windows: (N, R, R) bf16 (fast path) or f32 (exact dots); centers in
+    window coordinates; patch_half: (N,) traced scalar per sample.
+    sub_window: static row-window W, a multiple of 8 (0 -> R). Patches
+    whose vertical extent 2*patch_half+1 exceeds W-8 (alignment slack) are
+    silently truncated — see the module caveat. Columns are always
+    full-width (no lane-alignment tax).
+    """
+    n, r, r2 = windows.shape
+    assert r == r2
+    _, l = centers_x.shape
+    s = out_size
+    w = sub_window or r
+    assert w <= r and w % 8 == 0 and r % 8 == 0
+    fast = windows.dtype == jnp.bfloat16
+
+    cx = jnp.round(centers_x)
+    cy = jnp.round(centers_y)
+    oxy = jnp.concatenate([cy - patch_half[:, None],
+                           cx - patch_half[:, None]], axis=1)   # (N, 2L)
+    sp = jnp.stack([2.0 * patch_half / s, patch_half], axis=1)  # (N, 2)
+
+    kernel = functools.partial(
+        _sampler_kernel, num_landmarks=l, out_size=s, sub_window=w,
+        roi=r, quantize=quantize, fast=fast)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            # per-step scalar rows live in SMEM (whole-array scalar
+            # prefetch at serving batch sizes overflows the 1 MB SMEM);
+            # singleton middle axis so the block's trailing dims equal the
+            # array's, as the SMEM lowering requires
+            pl.BlockSpec((1, 1, 2 * l), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, r, r), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, l, s, s), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, l, s, s), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(oxy.astype(jnp.float32)[:, None, :],
+      sp.astype(jnp.float32)[:, None, :], windows)
+    return out

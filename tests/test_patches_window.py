@@ -1,0 +1,72 @@
+"""Pallas window-resident sampler vs the dense XLA sampler.
+
+Runs in interpret mode on the CPU test backend. Quantisation is off in the
+equality checks: the kernel's dot contraction can fuse multiply-adds in a
+different order than XLA's einsum (~1e-5 relative), which would flip
+pixels that land exactly on a .5 rounding boundary — the same documented
+difference class as fast sampling.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from superviseddescent_tpu.ops.patches import extract_patches_dense
+from superviseddescent_tpu.ops.patches_pallas import sample_patches_window
+
+
+def make_case(seed=0, n=3, r=128, l=4):
+    rng = np.random.default_rng(seed)
+    wins = rng.integers(0, 256, size=(n, r, r)).astype(np.float32)
+    cx = rng.uniform(10, r - 10, (n, l)).astype(np.float32)
+    cy = rng.uniform(10, r - 10, (n, l)).astype(np.float32)
+    phw = rng.uniform(5, 14, (n,)).astype(np.float32).round()
+    return wins, cx, cy, phw
+
+
+def dense(wins, cx, cy, phw, s, **kw):
+    n = wins.shape[0]
+    return np.asarray(extract_patches_dense(
+        jnp.asarray(wins), jnp.arange(n, dtype=jnp.int32),
+        jnp.asarray(cx), jnp.asarray(cy), jnp.asarray(phw), s,
+        precision=jax.lax.Precision.HIGHEST, **kw))
+
+
+@pytest.mark.parametrize("sub_window", [0, 48])
+def test_window_sampler_matches_dense(sub_window):
+    wins, cx, cy, phw = make_case()
+    s = 24
+    ref = dense(wins, cx, cy, phw, s, quantize=False)
+    out = np.asarray(sample_patches_window(
+        jnp.asarray(wins), jnp.asarray(cx), jnp.asarray(cy),
+        jnp.asarray(phw), s, sub_window=sub_window, quantize=False,
+        interpret=True))
+    np.testing.assert_allclose(out, ref, atol=5e-3)
+
+
+def test_window_sampler_border_zero_pad():
+    # patches overlapping the window border: zero outside, like the dense
+    # sampler on the same windows
+    wins, _, _, _ = make_case()
+    n, l, s = wins.shape[0], 2, 24
+    cx = np.tile(np.float32([2.0, 126.0]), (n, 1))
+    cy = np.tile(np.float32([125.0, 1.0]), (n, 1))
+    phw = np.full((n,), 8.0, np.float32)
+    ref = dense(wins, cx, cy, phw, s, quantize=False)
+    out = np.asarray(sample_patches_window(
+        jnp.asarray(wins), jnp.asarray(cx), jnp.asarray(cy),
+        jnp.asarray(phw), s, sub_window=48, quantize=False, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=5e-3)
+
+
+def test_window_sampler_quantize_mostly_exact():
+    wins, cx, cy, phw = make_case(seed=1)
+    s = 24
+    ref = dense(wins, cx, cy, phw, s, quantize=True)
+    out = np.asarray(sample_patches_window(
+        jnp.asarray(wins), jnp.asarray(cx), jnp.asarray(cy),
+        jnp.asarray(phw), s, sub_window=0, quantize=True, interpret=True))
+    d = np.abs(out - ref)
+    assert d.max() <= 1.0            # only .5-boundary flips
+    assert (d > 0).mean() < 0.02     # and those are rare
