@@ -123,7 +123,8 @@ class HogTransform:
                  sampling: Optional[str] = None,
                  chunk_size: Optional[int] = None,
                  patch_backend: Optional[str] = None,
-                 sub_windows: Optional[Sequence[int]] = None):
+                 sub_windows: Optional[Sequence[int]] = None,
+                 hog_fast: bool = False):
         """images: (I, H, W) float32 gray stack (see ops.patches.stack_images).
         image_indices: (N,) sample -> image map; defaults to arange or zeros
         depending on batch size at call time.
@@ -146,7 +147,9 @@ class HogTransform:
         ROI windows) and per-level sub_windows sizes; its tent matrices
         never touch HBM, making it the fastest serving path.
         sub_windows: per-level static sub-window sides W for the 'window'
-        backend (patch extent 2*phw+1 must fit in W)."""
+        backend (patch extent 2*phw+1 must fit in W).
+        hog_fast: bf16 cell-splat in the Pallas HOG kernel (~1.3x faster,
+        ~0.4% descriptor noise); exact f32 by default."""
         self.images = jnp.asarray(images)
         if self.images.ndim == 2:
             self.images = self.images[None]
@@ -181,6 +184,7 @@ class HogTransform:
             "fast": jax.lax.Precision.DEFAULT,
         }[sampling]
         self.chunk_size = chunk_size
+        self.hog_fast = hog_fast
 
     def feature_dim(self, level: int = 0) -> int:
         p = self.hog_params[level]
@@ -262,7 +266,8 @@ class HogTransform:
                 hog_descriptor_pallas_flat)
             desc = hog_descriptor_pallas_flat(
                 patches.reshape(n * l, s * s), s,
-                p.cell_size, p.num_bins, p.variant)                  # (N*L,F1)
+                p.cell_size, p.num_bins, p.variant,
+                fast=self.hog_fast)                                  # (N*L,F1)
         else:
             desc = hog_descriptor(patches.reshape(n * l, s, s),
                                   p.cell_size, p.num_bins, p.variant)
@@ -291,12 +296,13 @@ class DetectionModel:
     # Inference
     # -------------------------------------------------------------- #
     def _hog(self, images, image_indices=None, quantize=True,
-             sampling=None, patch_backend=None, sub_windows=None):
+             sampling=None, patch_backend=None, sub_windows=None,
+             hog_fast=False):
         return HogTransform(images, self.hog_params, self.landmark_ids,
                             self.right_eye_ids, self.left_eye_ids,
                             image_indices=image_indices, quantize=quantize,
                             sampling=sampling, patch_backend=patch_backend,
-                            sub_windows=sub_windows)
+                            sub_windows=sub_windows, hog_fast=hog_fast)
 
     def detect(self, image, facebox) -> LandmarkCollection:
         """Detect landmarks in one image from a facebox (x, y, w, h)
@@ -382,7 +388,8 @@ class DetectionModel:
                     images, image_indices=idx, quantize=quantize,
                     sampling=sampling,
                     patch_backend="window" if window_sampler else None,
-                    sub_windows=sub_windows)
+                    sub_windows=sub_windows,
+                    hog_fast=(sampling == "fast"))
                 observed = hog(x, _li)
                 norm = self.sdo.normalisation(x)
                 return x - _reg.predict(observed) / norm

@@ -17,9 +17,9 @@ padded tiles (2.4x waste). This kernel flattens pixels into the lane axis:
     (C*C, 4*C*C) 0/1/2-entry matrix M4 (clamped border cells double-count,
     exactly like the C's repeated indices), so block normalisation is one
     tiny dot + rsqrt;
-  * output rows are (BB, D, C*C) with cells flattened cx-major, so the
-    outside reshape to (B, D*C*C) IS the reference's Matlab order
-    idx = d*C*C + cx*C + cy.
+  * output rows are written flat (BB, D*C*C) by a lane concat, cells
+    cx-major, which IS the reference's Matlab order idx = d*C*C + cx*C +
+    cy — no lane-padded (BB, D, C*C) tiles, no outside relayout.
 
 Semantics identical to ops/hog.py / hog_pallas.py (same goldens).
 """
@@ -88,7 +88,7 @@ def _flat_consts(size: int, cell_size: int):
 
 
 def _flat_kernel(p_ref, w2_ref, mask_ref, m4_ref, o_ref, g_scratch, *,
-                 size, cell_size, num_orientations, variant, block):
+                 size, cell_size, num_orientations, variant, block, fast):
     s = size
     o_count = num_orientations
     n_cells = hog_num_cells(s, cell_size)
@@ -120,12 +120,17 @@ def _flat_kernel(p_ref, w2_ref, mask_ref, m4_ref, o_ref, g_scratch, *,
         best_score = jnp.where(upd, a, best_score)
         best_bin = jnp.where(upd, bin_k, best_bin)
 
-    # stack per-bin masked gradients on the sublane axis, then ONE deep dot
+    # stack per-bin masked gradients on the sublane axis, then ONE deep dot.
+    # fast mode keeps the planes + dot in bf16 (halved scratch traffic +
+    # bf16 MXU): gradients round to 8 mantissa bits, ~0.4% descriptor noise
+    g_dtype = g_scratch.dtype
     for o in range(2 * o_count):
-        g_scratch[o * bb:(o + 1) * bb, :] = jnp.where(best_bin == o, grad, 0.0)
+        g_scratch[o * bb:(o + 1) * bb, :] = jnp.where(
+            best_bin == o, grad, 0.0).astype(g_dtype)
     cells_all = jax.lax.dot_general(
-        g_scratch[:], w2_ref[:], (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        g_scratch[:], w2_ref[:].astype(g_dtype), (((1,), (0,)), ((), ())),
+        precision=(jax.lax.Precision.DEFAULT if fast
+                   else jax.lax.Precision.HIGHEST),
         preferred_element_type=dtype)                    # (2O*BB, C*C)
 
     ha = [cells_all[o * bb:(o + 1) * bb] for o in range(o_count)]
@@ -174,18 +179,27 @@ def _flat_kernel(p_ref, w2_ref, mask_ref, m4_ref, o_ref, g_scratch, *,
                 out_channels.append(
                     jnp.minimum(factors[i] * (ha[k] + hb[k]), 0.2))
 
-    for d, ch in enumerate(out_channels):
-        o_ref[:, d, :] = ch
+    # flat (BB, D*C*C) output via lane concat: avoids the 5x lane-padding a
+    # (BB, D, C*C) tile layout would write, and the relayout copy the
+    # outside reshape then needs
+    o_ref[:, :] = jnp.concatenate(out_channels, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "size", "cell_size", "num_orientations", "variant", "block", "interpret"))
+    "size", "cell_size", "num_orientations", "variant", "block", "fast",
+    "interpret"))
 def hog_descriptor_pallas_flat(patches_flat: jnp.ndarray, size: int,
                                cell_size: int, num_orientations: int,
                                variant: HogVariant = HogVariant.Uoctti,
-                               block: int = 16,
+                               block: int = 64,
+                               fast: bool = False,
                                interpret: bool = False) -> jnp.ndarray:
-    """(B, S*S) row-major flattened patches -> (B, C*C*D) descriptors."""
+    """(B, S*S) row-major flattened patches -> (B, C*C*D) descriptors.
+
+    fast=True keeps the masked gradient planes and the cell-splat dot in
+    bf16: ~1.3x faster, ~0.4% relative descriptor noise (gradients round to
+    8 mantissa bits). Exact mode (default) matches the C goldens bit-wise.
+    """
     b, pdim = patches_flat.shape
     assert pdim == size * size
     n_cells = hog_num_cells(size, cell_size)
@@ -199,7 +213,8 @@ def hog_descriptor_pallas_flat(patches_flat: jnp.ndarray, size: int,
     w2, mask, m4 = _flat_consts(size, cell_size)
     kernel = functools.partial(
         _flat_kernel, size=size, cell_size=cell_size,
-        num_orientations=num_orientations, variant=variant, block=block)
+        num_orientations=num_orientations, variant=variant, block=block,
+        fast=fast)
     out = pl.pallas_call(
         kernel,
         grid=(padded_b // block,),
@@ -213,13 +228,14 @@ def hog_descriptor_pallas_flat(patches_flat: jnp.ndarray, size: int,
             pl.BlockSpec((cc, 4 * cc), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block, dims, cc), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((block, dims * cc), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((padded_b, dims, cc), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((padded_b, dims * cc), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2 * num_orientations * block, pdim), jnp.float32)],
+            pltpu.VMEM((2 * num_orientations * block, pdim),
+                       jnp.bfloat16 if fast else jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(patches_flat, jnp.asarray(w2), jnp.asarray(mask), jnp.asarray(m4))
-    return out.reshape(padded_b, dims * cc)[:b]
+    return out[:b]
