@@ -86,6 +86,13 @@ def main(argv=None):
                    help="MatrixNorm regularisation factor (reference: 1.5)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--levels", type=int, default=4)
+    p.add_argument("--mesh", type=int, default=0,
+                   help="shard training over this many devices (0 = single"
+                        " device); uses a 1-D 'data' mesh with psum-reduced"
+                        " normal equations")
+    p.add_argument("--feature-chunk-size", type=int, default=None,
+                   help="bound per-level feature-extraction memory by"
+                        " processing the sample axis in chunks")
     args = p.parse_args(argv)
 
     from superviseddescent_tpu.utils.cache import enable_compilation_cache
@@ -125,7 +132,12 @@ def main(argv=None):
                                    args.lambda_factor,
                                    regularise_last_row=False),
         num_perturbations=args.num_perturbations,
-        seed=args.seed)
+        seed=args.seed,
+        feature_chunk_size=args.feature_chunk_size)
+    mesh = None
+    if args.mesh:
+        from superviseddescent_tpu.parallel import make_mesh
+        mesh = make_mesh(args.mesh)
     right_idx, left_idx = resolve_eye_indices(model_landmarks, right_ids,
                                               left_ids)
     gt_aug = np.repeat(gt_rows, args.num_perturbations + 1, axis=0)
@@ -141,7 +153,8 @@ def main(argv=None):
     print("Training the model, printing the residual after each learned regressor:")
     t0 = time.time()
     model = train_rcr(stack, gt_rows, boxes, model_landmarks,
-                      right_ids, left_ids, mean, cfg, on_epoch=on_epoch)
+                      right_ids, left_ids, mean, cfg, on_epoch=on_epoch,
+                      mesh=mesh)
     print(f"Training took {time.time() - t0:.1f}s")
     model.save(args.output)
     print(f"Saved model to {args.output}")

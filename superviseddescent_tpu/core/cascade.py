@@ -86,7 +86,8 @@ class SupervisedDescentOptimiser:
     # ------------------------------------------------------------------ #
     def train(self, parameters, initialisations, templates, projection,
               on_training_epoch_callback: Optional[Callable] = None,
-              start_level: int = 0):
+              start_level: int = 0,
+              learn_fn: Optional[Callable] = None):
         """Learn the cascade from ground truth + initialisations.
 
         Args:
@@ -100,6 +101,10 @@ class SupervisedDescentOptimiser:
             current (N, P) predictions after each level.
           start_level: first level to learn (for checkpoint/resume; levels
             before it must already hold weights).
+          learn_fn: optional override of the per-level learn step,
+            ``(regressor, observed, b, level) -> LinearRegressor`` — e.g.
+            the psum-reduced distributed solve
+            (parallel/dist.py::distributed_train_level).
 
         Returns:
           (R', N, P) stacked per-level predictions for the levels trained
@@ -117,7 +122,12 @@ class SupervisedDescentOptimiser:
             observed = features if templates is None else features - jnp.asarray(templates)
             norm = self.normalisation(current_x)
             b = (current_x - parameters) * norm
-            self.regressors[level] = self.regressors[level].learn(observed, b)
+            if learn_fn is not None:
+                self.regressors[level] = learn_fn(
+                    self.regressors[level], observed, b, level)
+            else:
+                self.regressors[level] = self.regressors[level].learn(
+                    observed, b)
             update = self.regressors[level].predict(observed) / norm
             current_x = current_x - update
             history.append(current_x)

@@ -119,7 +119,8 @@ def train_rcr(images, groundtruth_rows, faceboxes,
               config: RcrTrainConfig = RcrTrainConfig(),
               image_indices=None,
               on_epoch=None,
-              checkpointer=None) -> DetectionModel:
+              checkpointer=None,
+              mesh=None) -> DetectionModel:
     """Train an RCR detection model (the rcr-train pipeline, stack §3.3).
 
     Args:
@@ -136,6 +137,15 @@ def train_rcr(images, groundtruth_rows, faceboxes,
         restarted call resumes from the last completed level (a capability
         the reference lacks — its weights live only in memory until the
         final save, SURVEY.md §5).
+      mesh: optional jax.sharding.Mesh with a "data" axis. The augmented
+        sample axis is sharded over it: feature extraction partitions via
+        GSPMD, and each level's learn becomes psum-reduced partial normal
+        equations + a replicated solve
+        (parallel/dist.py::distributed_train_level — the SURVEY §5
+        communication pattern). The batch is zero-row-padded to divide the
+        mesh, which leaves AtA/Atb and the MatrixNorm lambda exactly
+        unchanged, so the trained weights match the single-device result
+        up to psum summation order.
 
     Returns a trained DetectionModel.
     """
@@ -155,6 +165,44 @@ def train_rcr(images, groundtruth_rows, faceboxes,
     x_gt = gt[sample_to_box]
     sample_image_indices = image_indices[sample_to_box]
 
+    n_real = x0.shape[0]
+    learn_fn = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from superviseddescent_tpu.parallel.dist import (
+            distributed_train_level)
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        pad = (-n_real) % n_dev
+        if pad:
+            # zero-feature rows contribute nothing to AtA/Atb (masked in
+            # learn_fn below); x rows are copies of row 0 so the feature
+            # extraction stays on valid coordinates
+            x0 = jnp.concatenate([x0, jnp.tile(x0[:1], (pad, 1))])
+            x_gt = jnp.concatenate([x_gt, jnp.tile(x_gt[:1], (pad, 1))])
+            sample_image_indices = jnp.concatenate(
+                [sample_image_indices,
+                 jnp.tile(sample_image_indices[:1], (pad,))])
+        row_sharding = NamedSharding(mesh, P("data", None))
+        batch_sharding = NamedSharding(mesh, P("data"))
+        x0 = jax.device_put(x0, row_sharding)
+        x_gt = jax.device_put(x_gt, row_sharding)
+        sample_image_indices = jax.device_put(sample_image_indices,
+                                              batch_sharding)
+        images = jax.device_put(jnp.asarray(images),
+                                NamedSharding(mesh, P()))  # replicated
+        valid = jax.device_put(
+            (jnp.arange(n_real + pad) < n_real).astype(jnp.float32),
+            batch_sharding)
+
+        def learn_fn(regressor, observed, b_rows, level):
+            w = distributed_train_level(
+                observed * valid[:, None], b_rows * valid[:, None],
+                regressor.regulariser, mesh, method=regressor.method,
+                num_samples=n_real)
+            return LinearRegressor(weights=w,
+                                   regulariser=regressor.regulariser,
+                                   method=regressor.method)
+
     hog = HogTransform(images, config.hog_params, model_landmarks,
                        right_eye_ids, left_eye_ids,
                        image_indices=sample_image_indices,
@@ -167,6 +215,9 @@ def train_rcr(images, groundtruth_rows, faceboxes,
                   for _ in config.hog_params]
     sdo = SupervisedDescentOptimiser(regressors, norm)
 
+    def _unpad(current_x):
+        return current_x[:n_real] if current_x.shape[0] != n_real else current_x
+
     start_level = 0
     if checkpointer is not None:
         start_level = min(checkpointer.completed_levels(),
@@ -177,23 +228,33 @@ def train_rcr(images, groundtruth_rows, faceboxes,
                 weights=jnp.asarray(w),
                 regulariser=config.regularisation,
                 method=config.solver_method)
-            x0 = jnp.asarray(x_restored)
+            x_restored = jnp.asarray(x_restored)
+            if mesh is not None:
+                if x_restored.shape[0] != x0.shape[0]:
+                    x_restored = jnp.concatenate(
+                        [x_restored,
+                         jnp.tile(x_restored[:1],
+                                  (x0.shape[0] - x_restored.shape[0], 1))])
+                x_restored = jax.device_put(x_restored, row_sharding)
+            x0 = x_restored
 
         level_counter = [start_level]
 
         def _on_epoch_with_ckpt(current_x):
             lvl = level_counter[0]
             checkpointer.save_level(
-                lvl, sdo.regressors[lvl].weights, current_x)
+                lvl, sdo.regressors[lvl].weights, _unpad(current_x))
             level_counter[0] += 1
             if on_epoch is not None:
-                on_epoch(current_x)
+                on_epoch(_unpad(current_x))
         epoch_cb = _on_epoch_with_ckpt
+    elif on_epoch is not None:
+        epoch_cb = lambda current_x: on_epoch(_unpad(current_x))
     else:
-        epoch_cb = on_epoch
+        epoch_cb = None
 
     sdo.train(x_gt, x0, None, hog, on_training_epoch_callback=epoch_cb,
-              start_level=start_level)
+              start_level=start_level, learn_fn=learn_fn)
 
     return DetectionModel(sdo, mean, list(model_landmarks),
                           tuple(config.hog_params),

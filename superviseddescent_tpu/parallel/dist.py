@@ -25,17 +25,21 @@ from superviseddescent_tpu.ops.solver import _solve_from_normal
 
 def distributed_train_level(features, b, regulariser: Regulariser,
                             mesh: Mesh, axis_name: str = "data",
-                            method: str = "lu"):
+                            method: str = "lu",
+                            num_samples: int = None):
     """One cascade level's learn, sharded over the sample axis.
 
     features: (N, F) batch-sharded design matrix (observed values).
     b: (N, P) batch-sharded targets (normalised update steps).
+    num_samples: sample count for the MatrixNorm lambda rule; defaults to
+    N — pass the unpadded count when zero-padded rows were added to make
+    the batch divide the mesh.
 
     Each shard computes its partial normal equations on the MXU; a psum over
     the mesh forms the full AtA / Atb; every device runs the (replicated)
     factorisation. Returns the (F, P) weights, replicated.
     """
-    n_total = features.shape[0]
+    n_total = num_samples if num_samples is not None else features.shape[0]
 
     def level_fn(f_shard, b_shard):
         ata_part = jnp.dot(f_shard.T, f_shard,

@@ -70,3 +70,47 @@ def test_replicate_helper():
     mesh = make_mesh()
     x = replicate(jnp.ones((4, 4)), mesh)
     assert x.sharding.is_fully_replicated
+
+
+def test_train_rcr_mesh_matches_single_device():
+    """Full RCR training with mesh=8 (zero-row padding + psum-reduced
+    normal equations) must reproduce the single-device model."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_rcr_pipeline import (
+        load_small_dataset, SMALL_HOG, SMALL_LANDMARKS, RIGHT_EYE, LEFT_EYE)
+    from superviseddescent_tpu.models import (
+        RcrTrainConfig, gt_facebox, train_rcr)
+    from superviseddescent_tpu.utils.landmarks import to_landmark_collection
+
+    if not os.path.isdir("/root/reference/examples/data/ibug_lfpw_trainset"):
+        pytest.skip("reference data absent")
+
+    stack, gt_rows = load_small_dataset()
+    boxes = np.stack([
+        gt_facebox(to_landmark_collection(r, SMALL_LANDMARKS))
+        for r in gt_rows]).astype(np.float32)
+    l = len(SMALL_LANDMARKS)
+    mean = np.mean([np.concatenate([(r[:l] - b[0]) / b[2] - 0.5,
+                                    (r[l:] - b[1]) / b[3] - 0.5])
+                    for r, b in zip(gt_rows, boxes)], axis=0).astype(np.float32)
+    cfg = RcrTrainConfig(
+        hog_params=SMALL_HOG, num_perturbations=3, seed=7,
+        regularisation=Regulariser(RegularisationType.MatrixNorm, 0.1,
+                                   regularise_last_row=False))
+
+    single = train_rcr(stack, gt_rows, boxes, SMALL_LANDMARKS,
+                       RIGHT_EYE, LEFT_EYE, mean, cfg)
+    mesh = make_mesh()
+    # 5 faces x 4 inits = 20 samples -> padded to 24 over 8 devices
+    dist = train_rcr(stack, gt_rows, boxes, SMALL_LANDMARKS,
+                     RIGHT_EYE, LEFT_EYE, mean, cfg, mesh=mesh)
+
+    for rs, rd in zip(single.sdo.regressors, dist.sdo.regressors):
+        np.testing.assert_allclose(np.asarray(rd.weights),
+                                   np.asarray(rs.weights),
+                                   rtol=2e-2, atol=2e-4)
+    p_s = np.asarray(single.detect_batch(stack, boxes))
+    p_d = np.asarray(dist.detect_batch(stack, boxes))
+    np.testing.assert_allclose(p_d, p_s, atol=0.05)  # px
