@@ -248,6 +248,12 @@ class HogTransform:
                 raise ValueError(
                     "the window sampler needs one ROI window per sample "
                     f"(got {self.images.shape[0]} windows, batch {n})")
+            w = self.sub_windows[level] or self.images.shape[1]
+            # degrade gracefully for faces larger than the sub-window was
+            # sized for: clamp the patch half-size so the whole patch fits
+            # (a consistently smaller patch) instead of silently truncating
+            # one side of the bilinear support
+            phw = jnp.minimum(phw, (w - 10) / 2.0)
             patches = sample_patches_window(
                 self.images, x[:, :l], x[:, l:], phw, s,
                 sub_window=self.sub_windows[level],
