@@ -90,12 +90,13 @@ class _BoostReader:
         return b
 
     def peek_mat_header(self) -> bool:
-        """True if the next 13 bytes parse as a plausible mat header."""
+        """True if the next 13 bytes parse as a plausible mat header
+        (empty matrices — zero rows or cols — are legal)."""
         if self.pos + 13 > len(self.data):
             return False
         rows, cols, typ = struct.unpack_from("<iii", self.data, self.pos)
         cont = self.data[self.pos + 12]
-        return (rows > 0 and cols > 0 and typ in _CV_DEPTH_TO_DTYPE
+        return (rows >= 0 and cols >= 0 and typ in _CV_DEPTH_TO_DTYPE
                 and cont in (0, 1))
 
 
@@ -118,9 +119,10 @@ def loads_mats(data: bytes) -> List[np.ndarray]:
             # by checking which skip leaves a plausible mat header
             for skip in (2, 5, 0):
                 save = r.pos
-                r.take(skip)
-                if r.peek_mat_header():
-                    break
+                if r.pos + skip <= len(r.data):
+                    r.take(skip)
+                    if r.peek_mat_header():
+                        break
                 r.pos = save
             else:
                 raise ValueError("unrecognised class preamble")

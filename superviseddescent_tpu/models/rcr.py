@@ -178,6 +178,10 @@ class HogTransform:
         self.sub_windows = None if sub_windows is None else tuple(sub_windows)
         if sampling is None:
             sampling = "fast" if fast_sampling else "exact"
+        if sampling not in ("exact", "high", "fast"):
+            raise ValueError(f"unknown sampling mode: {sampling!r} "
+                             "(expected 'exact', 'high' or 'fast')")
+        self.sampling = sampling
         self.sampling_precision = {
             "exact": jax.lax.Precision.HIGHEST,
             "high": jax.lax.Precision.HIGH,
@@ -243,21 +247,24 @@ class HogTransform:
 
         if self.patch_method == "window":
             from superviseddescent_tpu.ops.patches_pallas import (
-                sample_patches_window)
-            if self.images.shape[0] != n:
-                raise ValueError(
-                    "the window sampler needs one ROI window per sample "
-                    f"(got {self.images.shape[0]} windows, batch {n})")
-            w = self.sub_windows[level] or self.images.shape[1]
+                max_patch_half, sample_patches_window)
+            if self.images.shape[0] == n:
+                windows = self.images
+            else:
+                # chunked calls (and shared-window batches) index into the
+                # window stack per sample
+                windows = self.images[image_indices]
+            w = self.sub_windows[level] or windows.shape[1]
             # degrade gracefully for faces larger than the sub-window was
             # sized for: clamp the patch half-size so the whole patch fits
             # (a consistently smaller patch) instead of silently truncating
             # one side of the bilinear support
-            phw = jnp.minimum(phw, (w - 10) / 2.0)
+            phw = jnp.minimum(phw, max_patch_half(w))
             patches = sample_patches_window(
-                self.images, x[:, :l], x[:, l:], phw, s,
+                windows, x[:, :l], x[:, l:], phw, s,
                 sub_window=self.sub_windows[level],
-                quantize=self.quantize)                              # (N,L,S,S)
+                quantize=self.quantize,
+                sampling=self.sampling)                              # (N,L,S,S)
         elif self.patch_method == "dense":
             patches = extract_patches_dense(
                 self.images, image_indices,
@@ -371,8 +378,9 @@ class DetectionModel:
         (ops/patches_pallas.py) instead of the dense XLA sampler — its tent
         matrices never touch HBM. Requires roi. Per-level sub-windows are
         sized from max_ied (default roi/2.13, the largest IED whose 1.6x
-        facebox still fits the ROI); patches of faces beyond max_ied are
-        silently truncated at the sub-window edge.
+        facebox still fits the ROI); faces beyond max_ied degrade
+        gracefully to a consistently smaller patch (the patch half-size is
+        clamped so the patch always fits the sub-window).
         """
         if sampling is None:
             sampling = "fast" if fast_sampling else "exact"
@@ -380,10 +388,11 @@ class DetectionModel:
             raise ValueError("window_sampler requires roi")
         sub_windows = None
         if window_sampler:
+            from superviseddescent_tpu.ops.patches_pallas import (
+                min_sub_window)
             mi = max_ied if max_ied is not None else roi / 2.13
-            # vertical patch extent + 8 alignment slack + rounding margin
             sub_windows = tuple(
-                min(roi, -(-int(p.relative_patch_size * mi + 14) // 8) * 8)
+                min(roi, min_sub_window(p.relative_patch_size * mi + 2))
                 for p in self.hog_params)
         idx = jnp.arange(batch, dtype=jnp.int32)
         mean = jnp.asarray(self.mean)

@@ -22,9 +22,10 @@ on a .5 boundary may flip by 1 greylevel (same class of difference as the
 documented fast-sampling behaviour).
 
 Exactness caveat (mirrors the `roi` caveat in DetectionModel): a patch is
-sampled correctly iff its extent 2*patch_half+1 fits in the static
-sub-window side W. Pick W per cascade level from the level's
-relative_patch_size and the largest expected IED.
+sampled correctly iff patch_half <= max_patch_half(W) for the static
+sub-window side W. Size W per cascade level with min_sub_window() from
+the level's relative_patch_size and the largest expected IED, and clamp
+patch_half with max_patch_half() to degrade gracefully beyond it.
 
 Reference behaviour being reproduced: adaptive_vlhog.hpp:131-157
 (crop/copyMakeBorder/resize -> HOG input), recast as TPU window DMA +
@@ -40,10 +41,41 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Mosaic requires dynamic sublane offsets to be 8-aligned; flooring the
+# sub-window origin to this costs up to SUBLANE_ALIGN-1 rows of coverage,
+# plus the bilinear tent's +-1 support. These two helpers OWN the fit
+# invariant — size sub-windows / clamp patch sizes through them, never
+# with ad-hoc constants at call sites.
+SUBLANE_ALIGN = 8
+_FIT_MARGIN = 2  # bilinear tent support around the outermost sample
+
+
+def max_patch_half(sub_window: int) -> float:
+    """Largest patch_half whose patch is fully covered by a W-row
+    sub-window after 8-aligned origin flooring."""
+    return (sub_window - SUBLANE_ALIGN - _FIT_MARGIN) / 2.0
+
+
+def min_sub_window(max_extent: float) -> int:
+    """Smallest legal sub-window side (multiple of 8) covering a patch
+    extent of `max_extent` pixels (extent = 2*patch_half)."""
+    need = int(-(-max_extent // 1)) + SUBLANE_ALIGN + _FIT_MARGIN
+    return -(-need // SUBLANE_ALIGN) * SUBLANE_ALIGN
+
+
+_PRECISIONS = {
+    "exact": (jnp.float32, jax.lax.Precision.HIGHEST),
+    # Mosaic has no bf16x3 (HIGH) dot lowering — 'high' runs the exact
+    # dots, so it is never less accurate than requested, just not faster;
+    # the dense XLA backend offers true bf16x3
+    "high": (jnp.float32, jax.lax.Precision.HIGHEST),
+    "fast": (jnp.bfloat16, jax.lax.Precision.DEFAULT),
+}
+
 
 def _sampler_kernel(oxy_ref, sp_ref, win_ref, o_ref, *,
                     num_landmarks, out_size, sub_window, roi, quantize,
-                    fast):
+                    sampling):
     s, w, r = out_size, sub_window, roi
     l = num_landmarks
 
@@ -62,9 +94,7 @@ def _sampler_kernel(oxy_ref, sp_ref, win_ref, o_ref, *,
                                   ).astype(jnp.float32)         # (S,W)
     ux = jax.lax.broadcasted_iota(jnp.int32, (s, r), 1
                                   ).astype(jnp.float32)         # (S,R)
-    mm_dtype = jnp.bfloat16 if fast else jnp.float32
-    precision = (jax.lax.Precision.DEFAULT if fast
-                 else jax.lax.Precision.HIGHEST)
+    mm_dtype, precision = _PRECISIONS[sampling]
 
     for lm in range(l):
         by = oxy_ref[0, 0, lm]            # crop origin, window space
@@ -91,7 +121,7 @@ def _sampler_kernel(oxy_ref, sp_ref, win_ref, o_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "out_size", "sub_window", "quantize", "interpret"))
+    "out_size", "sub_window", "quantize", "sampling", "interpret"))
 def sample_patches_window(windows: jnp.ndarray,
                           centers_x: jnp.ndarray,
                           centers_y: jnp.ndarray,
@@ -99,23 +129,27 @@ def sample_patches_window(windows: jnp.ndarray,
                           out_size: int,
                           sub_window: int = 0,
                           quantize: bool = True,
+                          sampling: str = None,
                           interpret: bool = False) -> jnp.ndarray:
     """Sample (N, L, S, S) patches from per-sample ROI windows.
 
-    windows: (N, R, R) bf16 (fast path) or f32 (exact dots); centers in
-    window coordinates; patch_half: (N,) traced scalar per sample.
+    windows: (N, R, R) bf16 or f32; centers in window coordinates;
+    patch_half: (N,) traced scalar per sample.
     sub_window: static row-window W, a multiple of 8 (0 -> R). Patches
-    whose vertical extent 2*patch_half+1 exceeds W-8 (alignment slack) are
-    silently truncated — see the module caveat. Columns are always
-    full-width (no lane-alignment tax).
+    whose extent exceeds max_patch_half(W)*2 are silently truncated — see
+    the module caveat (callers should clamp via max_patch_half). Columns
+    are always full-width (no lane-alignment tax).
+    sampling: 'exact' (f32 HIGHEST), 'high' (f32 bf16x3 passes) or 'fast'
+    (bf16); default 'fast' for bf16 windows else 'exact'.
     """
     n, r, r2 = windows.shape
     assert r == r2
     _, l = centers_x.shape
     s = out_size
     w = sub_window or r
-    assert w <= r and w % 8 == 0 and r % 8 == 0
-    fast = windows.dtype == jnp.bfloat16
+    assert w <= r and w % SUBLANE_ALIGN == 0 and r % SUBLANE_ALIGN == 0
+    if sampling is None:
+        sampling = "fast" if windows.dtype == jnp.bfloat16 else "exact"
 
     cx = jnp.round(centers_x)
     cy = jnp.round(centers_y)
@@ -125,7 +159,7 @@ def sample_patches_window(windows: jnp.ndarray,
 
     kernel = functools.partial(
         _sampler_kernel, num_landmarks=l, out_size=s, sub_window=w,
-        roi=r, quantize=quantize, fast=fast)
+        roi=r, quantize=quantize, sampling=sampling)
     out = pl.pallas_call(
         kernel,
         grid=(n,),

@@ -174,3 +174,11 @@ def test_boost_mat_bad_signature():
     from superviseddescent_tpu.io import loads_mats
     with pytest.raises(ValueError):
         loads_mats(b"\x05\x00\x00\x00\x00\x00\x00\x00hello")
+
+
+def test_boost_mat_empty_first_matrix():
+    from superviseddescent_tpu.io import dumps_mats, loads_mats
+    mats = [np.zeros((0, 3), np.float32), np.ones((2, 2), np.float32)]
+    out = loads_mats(dumps_mats(mats))
+    assert out[0].shape == (0, 3)
+    np.testing.assert_array_equal(out[1], mats[1])

@@ -70,3 +70,32 @@ def test_window_sampler_quantize_mostly_exact():
     d = np.abs(out - ref)
     assert d.max() <= 1.0            # only .5-boundary flips
     assert (d > 0).mean() < 0.02     # and those are rare
+
+
+def test_window_backend_with_chunking(monkeypatch):
+    # HogTransform(patch_backend='window', chunk_size=...) gathers the
+    # chunk's windows per lax.map step and matches the unchunked result
+    from superviseddescent_tpu.models.rcr import HogTransform, HogParams
+    from superviseddescent_tpu.ops.hog import HogVariant
+
+    rng = np.random.default_rng(3)
+    n, r = 6, 64
+    wins = rng.integers(0, 256, size=(n, r, r)).astype(np.float32)
+    params = (HogParams(HogVariant.Uoctti, 3, 6, 4, 0.8),)
+    names = ["1", "2", "3", "4"]
+    x = np.concatenate([rng.uniform(20, 44, (n, 4)),
+                        rng.uniform(20, 44, (n, 4))], 1).astype(np.float32)
+    # force the pallas path through interpret mode on CPU
+    import superviseddescent_tpu.ops.patches_pallas as pp
+    orig = pp.sample_patches_window
+    monkeypatch.setattr(
+        pp, "sample_patches_window",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    kw = dict(image_indices=np.arange(n, dtype=np.int32),
+              patch_backend="window", sub_windows=(48,), quantize=False)
+    hog = HogTransform(wins, params, names, ["1"], ["2"], **kw)
+    hogc = HogTransform(wins, params, names, ["1"], ["2"], chunk_size=4,
+                        **kw)
+    a = np.asarray(hog(jnp.asarray(x), 0))
+    b = np.asarray(hogc(jnp.asarray(x), 0))
+    np.testing.assert_allclose(a, b, atol=1e-5)
