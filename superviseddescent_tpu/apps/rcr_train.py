@@ -93,6 +93,17 @@ def main(argv=None):
     p.add_argument("--feature-chunk-size", type=int, default=None,
                    help="bound per-level feature-extraction memory by"
                         " processing the sample axis in chunks")
+    p.add_argument("--roi", type=int, default=None,
+                   help="crop a fixed ROI window per face before training"
+                        " (device memory and sampling cost scale with"
+                        " roi^2, not image area)")
+    p.add_argument("--patch-backend", default=None,
+                   choices=["dense", "gather", "window"],
+                   help="patch sampler ('window' = Pallas window-resident,"
+                        " requires --roi)")
+    p.add_argument("--sampling", default="exact",
+                   choices=["exact", "high", "fast"],
+                   help="MXU precision of patch sampling")
     args = p.parse_args(argv)
 
     from superviseddescent_tpu.utils.cache import enable_compilation_cache
@@ -133,7 +144,10 @@ def main(argv=None):
                                    regularise_last_row=False),
         num_perturbations=args.num_perturbations,
         seed=args.seed,
-        feature_chunk_size=args.feature_chunk_size)
+        feature_chunk_size=args.feature_chunk_size,
+        roi=args.roi,
+        patch_backend=args.patch_backend,
+        sampling=args.sampling)
     mesh = None
     if args.mesh:
         from superviseddescent_tpu.parallel import make_mesh

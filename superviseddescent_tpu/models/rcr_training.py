@@ -109,6 +109,40 @@ class RcrTrainConfig:
     # chunk the per-level feature extraction (lax.map) — required for
     # 300-W-scale sample counts; None = single block
     feature_chunk_size: Optional[int] = None
+    # crop a fixed ROI window per face (host-side, before augmentation) and
+    # train against the windows: device memory and sampling cost scale with
+    # roi^2 instead of the full image area. Exact as long as every landmark
+    # patch stays inside the window (~1.6x the largest facebox side, like
+    # the detectors' roi).
+    roi: Optional[int] = None
+    # patch sampling backend for feature extraction (None = auto: dense on
+    # TPU / gather on CPU; 'window' = the Pallas window-resident sampler,
+    # requires roi). sampling: 'exact' | 'high' | 'fast' MXU precision.
+    patch_backend: Optional[str] = None
+    sampling: str = "exact"
+
+
+def _crop_face_windows(images, image_indices, faceboxes, roi):
+    """Host-side per-face ROI crop (dtype-preserving; uint8 stays uint8).
+
+    Returns (windows (B, roi, roi), per-face origins (B, 2) [ox, oy]).
+    Origins are clamped inside each image, preserving the zero-pad border
+    semantics of the full stack.
+    """
+    images = np.asarray(images)
+    h, w = images.shape[1], images.shape[2]
+    if h < roi or w < roi:
+        raise ValueError(f"roi {roi} exceeds the image stack {h}x{w}")
+    boxes = np.asarray(faceboxes, np.float32)
+    cx = boxes[:, 0] + boxes[:, 2] / 2.0
+    cy = boxes[:, 1] + boxes[:, 3] / 2.0
+    ox = np.clip(np.round(cx - roi / 2.0), 0, w - roi).astype(np.int64)
+    oy = np.clip(np.round(cy - roi / 2.0), 0, h - roi).astype(np.int64)
+    idx = np.asarray(image_indices)
+    windows = np.stack([
+        images[idx[i], oy[i]:oy[i] + roi, ox[i]:ox[i] + roi]
+        for i in range(boxes.shape[0])])
+    return windows, np.stack([ox, oy], axis=1).astype(np.float32)
 
 
 def train_rcr(images, groundtruth_rows, faceboxes,
@@ -156,6 +190,22 @@ def train_rcr(images, groundtruth_rows, faceboxes,
     else:
         image_indices = jnp.asarray(image_indices, jnp.int32)
 
+    l = gt.shape[1] // 2
+    sample_shift = None
+    if config.roi is not None:
+        # train against per-face windows: everything below runs in window
+        # coordinates (HOG features are invariant to the shared shift);
+        # callbacks translate back to image coordinates
+        images, origins = _crop_face_windows(
+            images, image_indices, faceboxes, config.roi)
+        shift_rows = jnp.concatenate(
+            [jnp.tile(jnp.asarray(origins[:, :1]), (1, l)),
+             jnp.tile(jnp.asarray(origins[:, 1:2]), (1, l))], axis=1)
+        gt = gt - shift_rows
+        faceboxes = jnp.asarray(faceboxes, jnp.float32
+                                ).at[:, :2].add(-jnp.asarray(origins))
+        image_indices = jnp.arange(b, dtype=jnp.int32)
+
     key = jax.random.PRNGKey(config.seed)
     x0, sample_to_box = augment_initialisations(
         mean, faceboxes, key,
@@ -164,6 +214,8 @@ def train_rcr(images, groundtruth_rows, faceboxes,
         sigma_scale=config.sigma_scale)
     x_gt = gt[sample_to_box]
     sample_image_indices = image_indices[sample_to_box]
+    if config.roi is not None:
+        sample_shift = shift_rows[sample_to_box]
 
     n_real = x0.shape[0]
     learn_fn = None
@@ -203,11 +255,35 @@ def train_rcr(images, groundtruth_rows, faceboxes,
                                    regulariser=regressor.regulariser,
                                    method=regressor.method)
 
+    sub_windows = None
+    if config.patch_backend == "window":
+        if config.roi is None:
+            raise ValueError("patch_backend='window' requires config.roi")
+        from superviseddescent_tpu.ops.patches_pallas import min_sub_window
+        from superviseddescent_tpu.utils.landmarks import resolve_eye_indices as _rei
+        ri, li = _rei(model_landmarks, right_eye_ids, left_eye_ids)
+        max_ied = float(jnp.max(ied_from_rows(gt, ri, li)))
+        # 1.4x margin: intermediate estimates can have a larger IED than
+        # the ground truth; beyond it the sampler clamps gracefully
+        sub_windows = tuple(
+            min(config.roi,
+                min_sub_window(p.relative_patch_size * 1.4 * max_ied + 2))
+            for p in config.hog_params)
+        if np.asarray(images).dtype == np.uint8:
+            # pre-cast once: the pallas sampler cannot consume uint8, and
+            # bf16 is lossless for 0..255 gray pixels
+            target = (jnp.bfloat16 if config.sampling == "fast"
+                      else jnp.float32)
+            images = jnp.asarray(images).astype(target)
+
     hog = HogTransform(images, config.hog_params, model_landmarks,
                        right_eye_ids, left_eye_ids,
                        image_indices=sample_image_indices,
                        quantize=config.quantize_patches,
-                       chunk_size=config.feature_chunk_size)
+                       chunk_size=config.feature_chunk_size,
+                       patch_backend=config.patch_backend,
+                       sub_windows=sub_windows,
+                       sampling=config.sampling)
     norm = InterEyeDistanceNormalisation(model_landmarks, right_eye_ids,
                                          left_eye_ids)
     regressors = [LinearRegressor(regulariser=config.regularisation,
@@ -217,6 +293,13 @@ def train_rcr(images, groundtruth_rows, faceboxes,
 
     def _unpad(current_x):
         return current_x[:n_real] if current_x.shape[0] != n_real else current_x
+
+    def _to_caller(current_x):
+        """Callback view: unpadded, and back in image coordinates."""
+        current_x = _unpad(current_x)
+        if sample_shift is not None:
+            current_x = current_x + sample_shift
+        return current_x
 
     start_level = 0
     if checkpointer is not None:
@@ -246,10 +329,10 @@ def train_rcr(images, groundtruth_rows, faceboxes,
                 lvl, sdo.regressors[lvl].weights, _unpad(current_x))
             level_counter[0] += 1
             if on_epoch is not None:
-                on_epoch(_unpad(current_x))
+                on_epoch(_to_caller(current_x))
         epoch_cb = _on_epoch_with_ckpt
     elif on_epoch is not None:
-        epoch_cb = lambda current_x: on_epoch(_unpad(current_x))
+        epoch_cb = lambda current_x: on_epoch(_to_caller(current_x))
     else:
         epoch_cb = None
 

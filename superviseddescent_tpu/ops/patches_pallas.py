@@ -150,6 +150,12 @@ def sample_patches_window(windows: jnp.ndarray,
     assert w <= r and w % SUBLANE_ALIGN == 0 and r % SUBLANE_ALIGN == 0
     if sampling is None:
         sampling = "fast" if windows.dtype == jnp.bfloat16 else "exact"
+    if windows.dtype == jnp.uint8:
+        # Mosaic cannot cast uint8 in-kernel; cast once here (callers keep
+        # uint8 stacks in HBM and should pre-cast when reusing windows
+        # across levels). bf16 is lossless for 0..255 pixels.
+        windows = windows.astype(
+            jnp.bfloat16 if sampling == "fast" else jnp.float32)
 
     cx = jnp.round(centers_x)
     cy = jnp.round(centers_y)

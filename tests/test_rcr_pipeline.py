@@ -245,3 +245,43 @@ def test_rcr_end_to_end_train_detect_roundtrip(tmp_path):
     loaded = DetectionModel.load(path)
     pred2 = np.asarray(loaded.detect_batch(stack, boxes))
     np.testing.assert_allclose(pred2, pred, atol=1e-5)
+
+
+@needs_data
+def test_train_rcr_roi_windows_match_full_images():
+    # config.roi crops per-face windows host-side and trains in window
+    # coordinates; the learned model and its image-coordinate predictions
+    # must match full-image training (float rounding differs slightly:
+    # window coordinates have smaller magnitudes)
+    from superviseddescent_tpu import Regulariser, RegularisationType
+
+    stack, gt_rows = load_small_dataset()
+    boxes = np.stack([
+        gt_facebox(to_landmark_collection(r, SMALL_LANDMARKS))
+        for r in gt_rows]).astype(np.float32)
+
+    def to_box_space(row, box):
+        l = len(SMALL_LANDMARKS)
+        x, y, w, h = box
+        return np.concatenate([(row[:l] - x) / w - 0.5,
+                               (row[l:] - y) / h - 0.5])
+    mean = np.mean([to_box_space(r, b) for r, b in zip(gt_rows, boxes)],
+                   axis=0).astype(np.float32)
+    base = dict(hog_params=SMALL_HOG, num_perturbations=2, seed=11,
+                regularisation=Regulariser(RegularisationType.MatrixNorm,
+                                           0.1, regularise_last_row=False))
+
+    cb_full, cb_roi = [], []
+    full = train_rcr(stack, gt_rows, boxes, SMALL_LANDMARKS, RIGHT_EYE,
+                     LEFT_EYE, mean, RcrTrainConfig(**base),
+                     on_epoch=lambda x: cb_full.append(np.asarray(x)))
+    roi = train_rcr(stack, gt_rows, boxes, SMALL_LANDMARKS, RIGHT_EYE,
+                    LEFT_EYE, mean, RcrTrainConfig(roi=512, **base),
+                    on_epoch=lambda x: cb_roi.append(np.asarray(x)))
+
+    # callbacks are reported back in image coordinates
+    for a, b in zip(cb_full, cb_roi):
+        np.testing.assert_allclose(b, a, atol=0.2)
+    p_full = np.asarray(full.detect_batch(stack, boxes))
+    p_roi = np.asarray(roi.detect_batch(stack, boxes))
+    np.testing.assert_allclose(p_roi, p_full, atol=0.2)
