@@ -58,3 +58,48 @@ def test_hog_batch_matches_single():
     batch = native.hog_batch(patches, 6, 4)
     for i in range(8):
         np.testing.assert_array_equal(batch[i], native.hog(patches[i], 6, 4))
+
+
+def test_cereal_crosscheck_against_reference_stack(tmp_path):
+    """The reference's OWN vendored cereal library + cv::Mat adapter
+    (compiled from /root/reference) must parse a model file written by
+    io/cereal.py, field for field, with no trailing bytes."""
+    import json
+    import shutil
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    model_path = os.path.join(repo, "pretrained", "rcr22_lfpw5.bin")
+    if not os.path.exists(model_path):
+        pytest.skip("pretrained model absent")
+    if not shutil.which("g++") or not os.path.isdir(
+            "/root/reference/3rdparty/cereal-1.1.1"):
+        pytest.skip("toolchain or reference cereal absent")
+
+    exe = tmp_path / "cereal_crosscheck"
+    build = subprocess.run(
+        ["sh", os.path.join(repo, "native", "build_cereal_crosscheck.sh")],
+        env=dict(os.environ, OUT=str(exe)), capture_output=True, text=True)
+    assert build.returncode == 0, build.stderr
+
+    out = subprocess.run([str(exe), model_path], capture_output=True,
+                         text=True)
+    assert out.returncode == 0, out.stderr
+    parsed = json.loads(out.stdout)
+
+    from superviseddescent_tpu.models import DetectionModel
+    model = DetectionModel.load(model_path)
+    w = [np.asarray(r.weights) for r in model.sdo.regressors]
+    assert parsed["num_regressors"] == len(w)
+    assert parsed["weight_shapes"] == [list(x.shape) for x in w]
+    np.testing.assert_allclose(parsed["w00"], [float(x[0, 0]) for x in w],
+                               rtol=1e-6)
+    np.testing.assert_allclose(parsed["w_last"],
+                               [float(x[-1, -1]) for x in w], rtol=1e-6)
+    assert parsed["num_landmarks"] == len(model.landmark_ids)
+    assert parsed["first_landmark"] == model.landmark_ids[0]
+    assert parsed["cell_sizes"] == [p.cell_size for p in model.hog_params]
+    assert parsed["right_eye"] == model.right_eye_ids
+    assert parsed["left_eye"] == model.left_eye_ids
+    np.testing.assert_allclose(parsed["mean00"], float(model.mean[0]),
+                               rtol=1e-6)
