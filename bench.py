@@ -133,14 +133,14 @@ def main():
         np.asarray(out_exact), gt_rows[sel], right_idx, left_idx))))
     log(f"IOD-normalised detect error, exact-f32 sampling: {err_exact:.4f}")
 
-    reps = 20
-    t0 = time.time()
-    for _ in range(reps):
-        out = detect(bench_images, bench_boxes)
-    out.block_until_ready()
-    dt = (time.time() - t0) / reps
+    # timing: block_until_ready does NOT wait for execution over the axon
+    # tunnel (it returns after dispatch) — utils/timing.py fences with a
+    # data-dependent scalar readback and subtracts the single readback RTT
+    from superviseddescent_tpu.utils.timing import measure
+    dt, fence_rtt = measure(detect, bench_images, bench_boxes, reps=30)
     faces_per_sec = batch / dt
     log(f"batched detect: {dt*1e3:.2f} ms / {batch} faces "
+        f"(fence rtt {fence_rtt*1e3:.1f} ms) "
         f"-> {faces_per_sec:.0f} faces/sec on {len(devices)} device(s)")
 
     print(json.dumps({
