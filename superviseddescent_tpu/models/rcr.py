@@ -124,6 +124,7 @@ class HogTransform:
                  chunk_size: Optional[int] = None,
                  patch_backend: Optional[str] = None,
                  sub_windows: Optional[Sequence[int]] = None,
+                 sub_windows_x: Optional[Sequence[int]] = None,
                  hog_fast: bool = False):
         """images: (I, H, W) float32 gray stack (see ops.patches.stack_images).
         image_indices: (N,) sample -> image map; defaults to arange or zeros
@@ -148,6 +149,9 @@ class HogTransform:
         never touch HBM, making it the fastest serving path.
         sub_windows: per-level static sub-window sides W for the 'window'
         backend (patch extent 2*phw+1 must fit in W).
+        sub_windows_x: per-level static lane (column) sub-window sides WX
+        for the 'window' backend, multiples of 128 (0/None -> full width);
+        shrinks the sampling dots to WX lanes.
         hog_fast: bf16 cell-splat in the Pallas HOG kernel (~1.3x faster,
         ~0.4% descriptor noise); exact f32 by default."""
         self.images = jnp.asarray(images)
@@ -176,6 +180,8 @@ class HogTransform:
             sub_windows = tuple(0 for _ in self.hog_params)
         self.patch_method = patch_backend
         self.sub_windows = None if sub_windows is None else tuple(sub_windows)
+        self.sub_windows_x = (None if sub_windows_x is None
+                              else tuple(sub_windows_x))
         if sampling is None:
             sampling = "fast" if fast_sampling else "exact"
         if sampling not in ("exact", "high", "fast"):
@@ -247,7 +253,7 @@ class HogTransform:
 
         if self.patch_method == "window":
             from superviseddescent_tpu.ops.patches_pallas import (
-                max_patch_half, sample_patches_window)
+                max_patch_half, max_patch_half_x, sample_patches_window)
             if self.images.shape[0] == n:
                 windows = self.images
             else:
@@ -255,14 +261,20 @@ class HogTransform:
                 # window stack per sample
                 windows = self.images[image_indices]
             w = self.sub_windows[level] or windows.shape[1]
+            wx = (self.sub_windows_x[level] if self.sub_windows_x
+                  else 0) or windows.shape[1]
             # degrade gracefully for faces larger than the sub-window was
             # sized for: clamp the patch half-size so the whole patch fits
             # (a consistently smaller patch) instead of silently truncating
             # one side of the bilinear support
             phw = jnp.minimum(phw, max_patch_half(w))
+            if wx != windows.shape[1]:
+                phw = jnp.minimum(phw, max_patch_half_x(wx))
             patches = sample_patches_window(
                 windows, x[:, :l], x[:, l:], phw, s,
                 sub_window=self.sub_windows[level],
+                sub_window_x=(self.sub_windows_x[level]
+                              if self.sub_windows_x else 0),
                 quantize=self.quantize,
                 sampling=self.sampling)                              # (N,L,S,S)
         elif self.patch_method == "dense":
@@ -310,12 +322,13 @@ class DetectionModel:
     # -------------------------------------------------------------- #
     def _hog(self, images, image_indices=None, quantize=True,
              sampling=None, patch_backend=None, sub_windows=None,
-             hog_fast=False):
+             sub_windows_x=None, hog_fast=False):
         return HogTransform(images, self.hog_params, self.landmark_ids,
                             self.right_eye_ids, self.left_eye_ids,
                             image_indices=image_indices, quantize=quantize,
                             sampling=sampling, patch_backend=patch_backend,
-                            sub_windows=sub_windows, hog_fast=hog_fast)
+                            sub_windows=sub_windows,
+                            sub_windows_x=sub_windows_x, hog_fast=hog_fast)
 
     def detect(self, image, facebox) -> LandmarkCollection:
         """Detect landmarks in one image from a facebox (x, y, w, h)
@@ -386,13 +399,20 @@ class DetectionModel:
             sampling = "fast" if fast_sampling else "exact"
         if window_sampler and roi is None:
             raise ValueError("window_sampler requires roi")
-        sub_windows = None
+        sub_windows = sub_windows_x = None
         if window_sampler:
             from superviseddescent_tpu.ops.patches_pallas import (
-                min_sub_window)
+                min_sub_window, min_sub_window_x)
             mi = max_ied if max_ied is not None else roi / 2.13
             sub_windows = tuple(
                 min(roi, min_sub_window(p.relative_patch_size * mi + 2))
+                for p in self.hog_params)
+            # lane (column) sub-windows: 128-aligned origins cost up to
+            # 127 px of coverage, so WX only shrinks below the ROI for
+            # moderate max_ied — worth it: the sampling dots scale with WX
+            sub_windows_x = tuple(
+                (lambda v: 0 if v >= roi else v)(
+                    min_sub_window_x(p.relative_patch_size * mi + 2))
                 for p in self.hog_params)
         idx = jnp.arange(batch, dtype=jnp.int32)
         mean = jnp.asarray(self.mean)
@@ -404,6 +424,7 @@ class DetectionModel:
                     sampling=sampling,
                     patch_backend="window" if window_sampler else None,
                     sub_windows=sub_windows,
+                    sub_windows_x=sub_windows_x,
                     hog_fast=(sampling == "fast"))
                 observed = hog(x, _li)
                 norm = self.sdo.normalisation(x)

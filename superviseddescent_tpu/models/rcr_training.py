@@ -255,11 +255,12 @@ def train_rcr(images, groundtruth_rows, faceboxes,
                                    regulariser=regressor.regulariser,
                                    method=regressor.method)
 
-    sub_windows = None
+    sub_windows = sub_windows_x = None
     if config.patch_backend == "window":
         if config.roi is None:
             raise ValueError("patch_backend='window' requires config.roi")
-        from superviseddescent_tpu.ops.patches_pallas import min_sub_window
+        from superviseddescent_tpu.ops.patches_pallas import (
+            min_sub_window, min_sub_window_x)
         from superviseddescent_tpu.utils.landmarks import resolve_eye_indices as _rei
         ri, li = _rei(model_landmarks, right_eye_ids, left_eye_ids)
         max_ied = float(jnp.max(ied_from_rows(gt, ri, li)))
@@ -268,6 +269,11 @@ def train_rcr(images, groundtruth_rows, faceboxes,
         sub_windows = tuple(
             min(config.roi,
                 min_sub_window(p.relative_patch_size * 1.4 * max_ied + 2))
+            for p in config.hog_params)
+        # lane sub-windows (128-aligned): shrink the sampling dots' width
+        sub_windows_x = tuple(
+            (lambda v: 0 if v >= config.roi else v)(
+                min_sub_window_x(p.relative_patch_size * 1.4 * max_ied + 2))
             for p in config.hog_params)
         if np.asarray(images).dtype == np.uint8:
             # pre-cast once: the pallas sampler cannot consume uint8, and
@@ -283,6 +289,7 @@ def train_rcr(images, groundtruth_rows, faceboxes,
                        chunk_size=config.feature_chunk_size,
                        patch_backend=config.patch_backend,
                        sub_windows=sub_windows,
+                       sub_windows_x=sub_windows_x,
                        sampling=config.sampling)
     norm = InterEyeDistanceNormalisation(model_landmarks, right_eye_ids,
                                          left_eye_ids)

@@ -41,26 +41,39 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Mosaic requires dynamic sublane offsets to be 8-aligned; flooring the
-# sub-window origin to this costs up to SUBLANE_ALIGN-1 rows of coverage,
-# plus the bilinear tent's +-1 support. These two helpers OWN the fit
-# invariant — size sub-windows / clamp patch sizes through them, never
-# with ad-hoc constants at call sites.
+# Mosaic requires dynamic sublane offsets to be 8-aligned and dynamic
+# lane offsets to be 128-aligned; flooring the sub-window origin to the
+# alignment costs up to ALIGN-1 rows/columns of coverage, plus the
+# bilinear tent's +-1 support. These helpers OWN the fit invariant —
+# size sub-windows / clamp patch sizes through them, never with ad-hoc
+# constants at call sites.
 SUBLANE_ALIGN = 8
+LANE_ALIGN = 128
 _FIT_MARGIN = 2  # bilinear tent support around the outermost sample
 
 
-def max_patch_half(sub_window: int) -> float:
-    """Largest patch_half whose patch is fully covered by a W-row
-    sub-window after 8-aligned origin flooring."""
-    return (sub_window - SUBLANE_ALIGN - _FIT_MARGIN) / 2.0
+def max_patch_half(sub_window: int, align: int = SUBLANE_ALIGN) -> float:
+    """Largest patch_half whose patch is fully covered by a W-row (or,
+    with align=LANE_ALIGN, W-column) sub-window after aligned origin
+    flooring."""
+    return (sub_window - align - _FIT_MARGIN) / 2.0
 
 
-def min_sub_window(max_extent: float) -> int:
-    """Smallest legal sub-window side (multiple of 8) covering a patch
-    extent of `max_extent` pixels (extent = 2*patch_half)."""
-    need = int(-(-max_extent // 1)) + SUBLANE_ALIGN + _FIT_MARGIN
-    return -(-need // SUBLANE_ALIGN) * SUBLANE_ALIGN
+def min_sub_window(max_extent: float, align: int = SUBLANE_ALIGN) -> int:
+    """Smallest legal sub-window side (multiple of `align`) covering a
+    patch extent of `max_extent` pixels (extent = 2*patch_half)."""
+    need = int(-(-max_extent // 1)) + align + _FIT_MARGIN
+    return -(-need // align) * align
+
+
+def max_patch_half_x(sub_window_x: int) -> float:
+    """Lane-axis counterpart of max_patch_half (128-aligned origins)."""
+    return max_patch_half(sub_window_x, LANE_ALIGN)
+
+
+def min_sub_window_x(max_extent: float) -> int:
+    """Lane-axis counterpart of min_sub_window (multiple of 128)."""
+    return min_sub_window(max_extent, LANE_ALIGN)
 
 
 _PRECISIONS = {
@@ -74,9 +87,9 @@ _PRECISIONS = {
 
 
 def _sampler_kernel(oxy_ref, sp_ref, win_ref, o_ref, *,
-                    num_landmarks, out_size, sub_window, roi, quantize,
-                    sampling):
-    s, w, r = out_size, sub_window, roi
+                    num_landmarks, out_size, sub_window, sub_window_x,
+                    roi, quantize, sampling):
+    s, w, wx, r = out_size, sub_window, sub_window_x, roi
     l = num_landmarks
 
     st = sp_ref[0, 0, 0]                  # resize step 2*phw/S
@@ -87,13 +100,14 @@ def _sampler_kernel(oxy_ref, sp_ref, win_ref, o_ref, *,
     src = jnp.clip((j + 0.5) * st - 0.5, 0.0, 2.0 * ph - 1.0)   # (S,1)
     src0 = src[0, 0]
 
-    # sub-windows subset SUBLANES only (y): Mosaic requires dynamic sublane
-    # offsets to be 8-aligned, which the tent coords absorb; lanes (x) stay
-    # full-width so no 128-lane alignment tax applies
+    # sub-windows subset sublanes (y, 8-aligned dynamic offset) AND lanes
+    # (x, 128-aligned dynamic offset); the tent coordinates absorb both
+    # origins, so alignment costs coverage (sized by min_sub_window*), not
+    # correctness
     uy = jax.lax.broadcasted_iota(jnp.int32, (s, w), 1
                                   ).astype(jnp.float32)         # (S,W)
-    ux = jax.lax.broadcasted_iota(jnp.int32, (s, r), 1
-                                  ).astype(jnp.float32)         # (S,R)
+    ux = jax.lax.broadcasted_iota(jnp.int32, (s, wx), 1
+                                  ).astype(jnp.float32)         # (S,WX)
     mm_dtype, precision = _PRECISIONS[sampling]
 
     for lm in range(l):
@@ -101,15 +115,26 @@ def _sampler_kernel(oxy_ref, sp_ref, win_ref, o_ref, *,
         bx = oxy_ref[0, 0, l + lm]
         oy = jnp.clip(jnp.floor(by + src0), 0.0, float(r - w)
                       ).astype(jnp.int32)
-        oy = (oy // 8) * 8
-        sub = win_ref[0, pl.ds(oy, w), :].astype(mm_dtype)      # (W,R)
+        oy = pl.multiple_of((oy // SUBLANE_ALIGN) * SUBLANE_ALIGN,
+                            SUBLANE_ALIGN)
+        if wx == r:
+            sub = win_ref[0, pl.ds(oy, w), :].astype(mm_dtype)  # (W,R)
+            ox = jnp.float32(0.0)
+        else:
+            oxi = jnp.clip(jnp.floor(bx + src0), 0.0, float(r - wx)
+                           ).astype(jnp.int32)
+            oxi = pl.multiple_of((oxi // LANE_ALIGN) * LANE_ALIGN,
+                                 LANE_ALIGN)
+            sub = win_ref[0, pl.ds(oy, w), pl.ds(oxi, wx)
+                          ].astype(mm_dtype)                    # (W,WX)
+            ox = oxi.astype(jnp.float32)
 
         cy = by + src - oy.astype(jnp.float32)                  # (S,1)
-        cx = bx + src
+        cx = bx + src - ox
         ty = jnp.maximum(0.0, 1.0 - jnp.abs(cy - uy)).astype(mm_dtype)
         tx = jnp.maximum(0.0, 1.0 - jnp.abs(cx - ux)).astype(mm_dtype)
 
-        rows = jax.lax.dot_general(                             # (S,R) f32
+        rows = jax.lax.dot_general(                             # (S,WX) f32
             ty, sub, (((1,), (0,)), ((), ())),
             precision=precision, preferred_element_type=jnp.float32)
         patch = jax.lax.dot_general(                            # (S,S) f32
@@ -121,13 +146,15 @@ def _sampler_kernel(oxy_ref, sp_ref, win_ref, o_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "out_size", "sub_window", "quantize", "sampling", "interpret"))
+    "out_size", "sub_window", "sub_window_x", "quantize", "sampling",
+    "interpret"))
 def sample_patches_window(windows: jnp.ndarray,
                           centers_x: jnp.ndarray,
                           centers_y: jnp.ndarray,
                           patch_half: jnp.ndarray,
                           out_size: int,
                           sub_window: int = 0,
+                          sub_window_x: int = 0,
                           quantize: bool = True,
                           sampling: str = None,
                           interpret: bool = False) -> jnp.ndarray:
@@ -135,10 +162,12 @@ def sample_patches_window(windows: jnp.ndarray,
 
     windows: (N, R, R) bf16 or f32; centers in window coordinates;
     patch_half: (N,) traced scalar per sample.
-    sub_window: static row-window W, a multiple of 8 (0 -> R). Patches
-    whose extent exceeds max_patch_half(W)*2 are silently truncated — see
-    the module caveat (callers should clamp via max_patch_half). Columns
-    are always full-width (no lane-alignment tax).
+    sub_window: static row-window W, a multiple of 8 (0 -> R).
+    sub_window_x: static column-window WX, a multiple of 128 (0 -> R) —
+    shrinks the sampling dots from the full window width to WX lanes.
+    Patches whose extent exceeds max_patch_half(W)*2 (rows) or
+    max_patch_half_x(WX)*2 (columns) are silently truncated — see the
+    module caveat (callers should clamp via the max_patch_half helpers).
     sampling: 'exact' (f32 HIGHEST), 'high' (f32 bf16x3 passes) or 'fast'
     (bf16); default 'fast' for bf16 windows else 'exact'.
     """
@@ -147,7 +176,9 @@ def sample_patches_window(windows: jnp.ndarray,
     _, l = centers_x.shape
     s = out_size
     w = sub_window or r
+    wx = sub_window_x or r
     assert w <= r and w % SUBLANE_ALIGN == 0 and r % SUBLANE_ALIGN == 0
+    assert wx <= r and (wx == r or wx % LANE_ALIGN == 0)
     if sampling is None:
         sampling = "fast" if windows.dtype == jnp.bfloat16 else "exact"
     if windows.dtype == jnp.uint8:
@@ -165,7 +196,7 @@ def sample_patches_window(windows: jnp.ndarray,
 
     kernel = functools.partial(
         _sampler_kernel, num_landmarks=l, out_size=s, sub_window=w,
-        roi=r, quantize=quantize, sampling=sampling)
+        sub_window_x=wx, roi=r, quantize=quantize, sampling=sampling)
     out = pl.pallas_call(
         kernel,
         grid=(n,),

@@ -45,6 +45,39 @@ def test_window_sampler_matches_dense(sub_window):
     np.testing.assert_allclose(out, ref, atol=5e-3)
 
 
+def test_window_sampler_lane_subwindow_matches_dense():
+    # 128-aligned lane (column) sub-window: same result as full-width.
+    # wx=256 < r=384 actually exercises the dynamic lane slice; phw <= 14
+    # is far inside max_patch_half_x(256) = 63.
+    wins, cx, cy, phw = make_case(seed=2, n=3, r=384, l=5)
+    cx = cx * (374.0 / 118.0)  # spread centers over the full 384 width
+    cy = cy * (374.0 / 118.0)
+    s = 24
+    ref = dense(wins, cx, cy, phw, s, quantize=False)
+    out = np.asarray(sample_patches_window(
+        jnp.asarray(wins), jnp.asarray(cx), jnp.asarray(cy),
+        jnp.asarray(phw), s, sub_window=48, sub_window_x=256,
+        quantize=False, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=5e-3)
+
+
+def test_window_sampler_lane_subwindow_border_zero_pad():
+    # patches overlapping the window border with lane slicing active.
+    # wx=256 supports patch_half <= max_patch_half_x(256) = 63; centers
+    # straddle both window borders and a 128-alignment boundary.
+    wins, _, _, _ = make_case(seed=4, n=2, r=384)
+    n, s = wins.shape[0], 24
+    cx = np.tile(np.float32([3.0, 381.0, 130.0]), (n, 1))
+    cy = np.tile(np.float32([378.0, 2.0, 128.0]), (n, 1))
+    phw = np.full((n,), 8.0, np.float32)
+    ref = dense(wins, cx, cy, phw, s, quantize=False)
+    out = np.asarray(sample_patches_window(
+        jnp.asarray(wins), jnp.asarray(cx), jnp.asarray(cy),
+        jnp.asarray(phw), s, sub_window=48, sub_window_x=256,
+        quantize=False, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=5e-3)
+
+
 def test_window_sampler_border_zero_pad():
     # patches overlapping the window border: zero outside, like the dense
     # sampler on the same windows
