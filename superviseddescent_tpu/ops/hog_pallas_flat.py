@@ -191,7 +191,7 @@ def _flat_kernel(p_ref, w2_ref, mask_ref, m4_ref, o_ref, g_scratch, *,
 def hog_descriptor_pallas_flat(patches_flat: jnp.ndarray, size: int,
                                cell_size: int, num_orientations: int,
                                variant: HogVariant = HogVariant.Uoctti,
-                               block: int = 64,
+                               block: int = 0,
                                fast: bool = False,
                                interpret: bool = False) -> jnp.ndarray:
     """(B, S*S) row-major flattened patches -> (B, C*C*D) descriptors.
@@ -199,9 +199,15 @@ def hog_descriptor_pallas_flat(patches_flat: jnp.ndarray, size: int,
     fast=True keeps the masked gradient planes and the cell-splat dot in
     bf16: ~1.3x faster, ~0.4% relative descriptor noise (gradients round to
     8 mantissa bits). Exact mode (default) matches the C goldens bit-wise.
+    block: patch rows per grid step; 0 picks by measured sweep
+    (scripts/sweep_hog_block.py on v5e): 512 for small patches, 256
+    otherwise — larger blocks amortise the per-step VPU pipeline at the
+    cost of scratch VMEM ((2*O*block, S*S) planes).
     """
     b, pdim = patches_flat.shape
     assert pdim == size * size
+    if not block:
+        block = 512 if pdim <= 1024 else 256
     n_cells = hog_num_cells(size, cell_size)
     cc = n_cells * n_cells
     dims = hog_dimension(variant, num_orientations)
