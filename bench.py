@@ -45,7 +45,9 @@ def load_dataset(model_landmarks):
     gt_rows = np.stack(rows)
     boxes = np.stack([gt_facebox(to_landmark_collection(r, model_landmarks))
                       for r in gt_rows]).astype(np.float32)
-    stack, _ = stack_images(images)
+    # width multiple of 128 -> the stepped detector's rows-only ROI crop
+    # (lane-static slice) applies
+    stack, _ = stack_images(images, pad_width_to=128)
     return stack, gt_rows, boxes
 
 

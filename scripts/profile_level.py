@@ -42,20 +42,23 @@ def main():
         min_sub_window_x(p.relative_patch_size * mi + 2))
         for p in model.hog_params)
 
-    def hog_for(level):
-        return model._hog(windows,
+    def hog_for(wins):
+        return model._hog(wins,
                           image_indices=jnp.arange(batch, dtype=jnp.int32),
                           quantize=True, sampling="fast",
                           patch_backend="window", sub_windows=sub_w,
                           sub_windows_x=sub_wx, hog_fast=True)
 
+    from superviseddescent_tpu.utils.landmarks import resolve_eye_indices
+    ri, lei = resolve_eye_indices(model.landmark_ids, model.right_eye_ids,
+                                  model.left_eye_ids)
+
     for li, reg in enumerate(model.sdo.regressors):
-        hog = hog_for(li)
-        w = jnp.asarray(reg.weights)
+        w0 = jnp.asarray(reg.weights)
 
         @jax.jit
-        def v0(x):
-            obs = hog(x, li)
+        def v0(x, wins, w):
+            obs = hog_for(wins)(x, li)
             norm = model.sdo.normalisation(x)
             upd = jnp.dot(obs, w, precision=jax.lax.Precision.DEFAULT,
                           preferred_element_type=jnp.float32)
@@ -66,20 +69,20 @@ def main():
         s = p.patch_size
 
         @jax.jit
-        def v1(x):
+        def v1(x, wins):
             from superviseddescent_tpu.ops.patches_pallas import (
                 max_patch_half, max_patch_half_x, sample_patches_window)
             from superviseddescent_tpu.ops.hog_pallas_flat import (
                 hog_descriptor_pallas_flat)
             from superviseddescent_tpu.utils.landmarks import ied_from_rows
-            ied = ied_from_rows(x, hog._right_idx, hog._left_idx)
+            ied = ied_from_rows(x, ri, lei)
             phw = jnp.maximum(jnp.floor(
                 p.relative_patch_size * ied / 2.0 + 0.5), 1.0)
             phw = jnp.minimum(phw, max_patch_half(sub_w[li]))
             if sub_wx[li]:
                 phw = jnp.minimum(phw, max_patch_half_x(sub_wx[li]))
             patches = sample_patches_window(
-                windows, x[:, :l], x[:, l:], phw, s,
+                wins, x[:, :l], x[:, l:], phw, s,
                 sub_window=sub_w[li], sub_window_x=sub_wx[li],
                 quantize=True, sampling="fast")
             return hog_descriptor_pallas_flat(
@@ -87,22 +90,24 @@ def main():
                 p.num_bins, p.variant, fast=True)
 
         @jax.jit
-        def v2(x):
-            desc = v1(x).reshape(batch, -1)
+        def v2(x, wins):
+            desc = v1(x, wins).reshape(batch, -1)
             return jnp.concatenate(
                 [desc, jnp.ones((batch, 1), desc.dtype)], axis=1)
 
         @jax.jit
-        def v3(x):
-            desc = v1(x).reshape(batch, -1)
+        def v3(x, wins, w):
+            desc = v1(x, wins).reshape(batch, -1)
             return jnp.dot(desc, w[:-1],
                            precision=jax.lax.Precision.DEFAULT,
                            preferred_element_type=jnp.float32) + w[-1]
 
         ts = {}
-        for name, fn in [("v0 full", v0), ("v1 samp+hog", v1),
-                         ("v2 +concat", v2), ("v3 +folded-gemv", v3)]:
-            dt, _ = measure(fn, x, reps=20)
+        for name, fn, args in [("v0 full", v0, (x, windows, w0)),
+                               ("v1 samp+hog", v1, (x, windows)),
+                               ("v2 +concat", v2, (x, windows)),
+                               ("v3 +folded-gemv", v3, (x, windows, w0))]:
+            dt, _ = measure(fn, *args, reps=20)
             ts[name] = dt * 1e3
         print(f"level {li}: " + "  ".join(
             f"{k} {v:6.2f}ms" for k, v in ts.items()), flush=True)

@@ -262,13 +262,13 @@ class HogTransform:
                 windows = self.images[image_indices]
             w = self.sub_windows[level] or windows.shape[1]
             wx = (self.sub_windows_x[level] if self.sub_windows_x
-                  else 0) or windows.shape[1]
+                  else 0) or windows.shape[2]
             # degrade gracefully for faces larger than the sub-window was
             # sized for: clamp the patch half-size so the whole patch fits
             # (a consistently smaller patch) instead of silently truncating
             # one side of the bilinear support
             phw = jnp.minimum(phw, max_patch_half(w))
-            if wx != windows.shape[1]:
+            if wx != windows.shape[2]:
                 phw = jnp.minimum(phw, max_patch_half_x(wx))
             patches = sample_patches_window(
                 windows, x[:, :l], x[:, l:], phw, s,
@@ -463,15 +463,31 @@ class DetectionModel:
                 raise ValueError(f"roi {roi} exceeds image stack {h}x{w}")
             cx = boxes[:, 0] + boxes[:, 2] / 2.0
             cy = boxes[:, 1] + boxes[:, 3] / 2.0
-            ox = jnp.clip(jnp.round(cx - roi / 2.0), 0, w - roi
-                          ).astype(jnp.int32)
             oy = jnp.clip(jnp.round(cy - roi / 2.0), 0, h - roi
                           ).astype(jnp.int32)
-            windows = jax.vmap(
-                lambda img, y0, x0: jax.lax.dynamic_slice(
-                    img, (y0, x0), (roi, roi)))(images, oy, ox)
+            rows_only = (window_sampler and w % 128 == 0
+                         and sub_windows_x is not None
+                         and all(sub_windows_x))
+            if rows_only:
+                # rows-only crop: slice full-width row bands (a lane-static
+                # slice — the lane-dynamic x slice costs ~4x more than the
+                # moved bytes) and let the sampler's 128-aligned lane
+                # sub-windows do the x-windowing. Origins floor to the
+                # uint8 sublane tile so the y slice stays tile-aligned.
+                oy = (oy // 32) * 32
+                windows = jax.vmap(
+                    lambda img, y0: jax.lax.dynamic_slice(
+                        img, (y0, 0), (roi, w)))(images, oy)
+                ox = jnp.zeros(oy.shape, jnp.float32)
+            else:
+                ox = jnp.clip(jnp.round(cx - roi / 2.0), 0, w - roi
+                              ).astype(jnp.int32)
+                windows = jax.vmap(
+                    lambda img, y0, x0: jax.lax.dynamic_slice(
+                        img, (y0, x0), (roi, roi)))(images, oy, ox)
+                ox = ox.astype(jnp.float32)
             return (windows.astype(win_dtype),
-                    ox.astype(jnp.float32), oy.astype(jnp.float32))
+                    ox, oy.astype(jnp.float32))
 
         n_lm = len(self.landmark_ids)
 

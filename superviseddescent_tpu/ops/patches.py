@@ -215,7 +215,7 @@ def load_gray_image(path):
     return arr.astype(np.float32)
 
 
-def stack_images(gray_images, dtype=None):
+def stack_images(gray_images, dtype=None, pad_width_to=1):
     """Zero-pad a list of (H_i, W_i) images into one (I, Hmax, Wmax) stack.
 
     Zero padding preserves the reference's zero-border patch semantics for
@@ -224,11 +224,14 @@ def stack_images(gray_images, dtype=None):
 
     dtype: np.float32 (default) or np.uint8 — uint8 quarters the device
     memory of big training stacks; the samplers cast per chunk.
+    pad_width_to: round the stack width up to a multiple of this (128
+    enables the stepped detector's lane-static rows-only ROI crop).
     """
     import numpy as np
     dtype = dtype or np.float32
     hmax = max(im.shape[0] for im in gray_images)
     wmax = max(im.shape[1] for im in gray_images)
+    wmax = -(-wmax // pad_width_to) * pad_width_to
     stack = np.zeros((len(gray_images), hmax, wmax), dtype)
     sizes = np.zeros((len(gray_images), 2), np.int32)
     for i, im in enumerate(gray_images):

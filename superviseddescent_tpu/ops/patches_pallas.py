@@ -88,8 +88,8 @@ _PRECISIONS = {
 
 def _sampler_kernel(oxy_ref, sp_ref, win_ref, o_ref, *,
                     num_landmarks, out_size, sub_window, sub_window_x,
-                    roi, quantize, sampling):
-    s, w, wx, r = out_size, sub_window, sub_window_x, roi
+                    roi_y, roi_x, quantize, sampling):
+    s, w, wx, ry, rx = out_size, sub_window, sub_window_x, roi_y, roi_x
     l = num_landmarks
 
     st = sp_ref[0, 0, 0]                  # resize step 2*phw/S
@@ -113,15 +113,17 @@ def _sampler_kernel(oxy_ref, sp_ref, win_ref, o_ref, *,
     for lm in range(l):
         by = oxy_ref[0, 0, lm]            # crop origin, window space
         bx = oxy_ref[0, 0, l + lm]
-        oy = jnp.clip(jnp.floor(by + src0), 0.0, float(r - w)
+        oy = jnp.clip(jnp.floor(by + src0), 0.0, float(ry - w)
                       ).astype(jnp.int32)
         oy = pl.multiple_of((oy // SUBLANE_ALIGN) * SUBLANE_ALIGN,
                             SUBLANE_ALIGN)
-        if wx == r:
-            sub = win_ref[0, pl.ds(oy, w), :].astype(mm_dtype)  # (W,R)
+        if wx == rx:
+            sub = win_ref[0, pl.ds(oy, w), :].astype(mm_dtype)  # (W,RX)
             ox = jnp.float32(0.0)
         else:
-            oxi = jnp.clip(jnp.floor(bx + src0), 0.0, float(r - wx)
+            # rx and wx are both multiples of 128 here (asserted by the
+            # wrapper), so clip-then-floor stays within [0, rx - wx]
+            oxi = jnp.clip(jnp.floor(bx + src0), 0.0, float(rx - wx)
                            ).astype(jnp.int32)
             oxi = pl.multiple_of((oxi // LANE_ALIGN) * LANE_ALIGN,
                                  LANE_ALIGN)
@@ -160,25 +162,28 @@ def sample_patches_window(windows: jnp.ndarray,
                           interpret: bool = False) -> jnp.ndarray:
     """Sample (N, L, S, S) patches from per-sample ROI windows.
 
-    windows: (N, R, R) bf16 or f32; centers in window coordinates;
+    windows: (N, RY, RX) bf16 or f32 (rectangular windows are fine, e.g.
+    full-image-width row bands); centers in window coordinates;
     patch_half: (N,) traced scalar per sample.
-    sub_window: static row-window W, a multiple of 8 (0 -> R).
-    sub_window_x: static column-window WX, a multiple of 128 (0 -> R) —
-    shrinks the sampling dots from the full window width to WX lanes.
+    sub_window: static row-window W, a multiple of 8 (0 -> RY).
+    sub_window_x: static column-window WX, a multiple of 128 (0 -> RX) —
+    shrinks the sampling dots from the full window width to WX lanes;
+    requires RX to be a multiple of 128 too (so aligned origins can reach
+    the right edge).
     Patches whose extent exceeds max_patch_half(W)*2 (rows) or
     max_patch_half_x(WX)*2 (columns) are silently truncated — see the
     module caveat (callers should clamp via the max_patch_half helpers).
     sampling: 'exact' (f32 HIGHEST), 'high' (f32 bf16x3 passes) or 'fast'
     (bf16); default 'fast' for bf16 windows else 'exact'.
     """
-    n, r, r2 = windows.shape
-    assert r == r2
+    n, ry, rx = windows.shape
     _, l = centers_x.shape
     s = out_size
-    w = sub_window or r
-    wx = sub_window_x or r
-    assert w <= r and w % SUBLANE_ALIGN == 0 and r % SUBLANE_ALIGN == 0
-    assert wx <= r and (wx == r or wx % LANE_ALIGN == 0)
+    w = sub_window or ry
+    wx = sub_window_x or rx
+    assert w <= ry and w % SUBLANE_ALIGN == 0 and ry % SUBLANE_ALIGN == 0
+    assert wx <= rx and (wx == rx or
+                         (wx % LANE_ALIGN == 0 and rx % LANE_ALIGN == 0))
     if sampling is None:
         sampling = "fast" if windows.dtype == jnp.bfloat16 else "exact"
     if windows.dtype == jnp.uint8:
@@ -196,7 +201,8 @@ def sample_patches_window(windows: jnp.ndarray,
 
     kernel = functools.partial(
         _sampler_kernel, num_landmarks=l, out_size=s, sub_window=w,
-        sub_window_x=wx, roi=r, quantize=quantize, sampling=sampling)
+        sub_window_x=wx, roi_y=ry, roi_x=rx, quantize=quantize,
+        sampling=sampling)
     out = pl.pallas_call(
         kernel,
         grid=(n,),
@@ -209,7 +215,7 @@ def sample_patches_window(windows: jnp.ndarray,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, r, r), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, ry, rx), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, l, s, s), lambda i: (i, 0, 0, 0),

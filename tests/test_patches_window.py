@@ -78,6 +78,24 @@ def test_window_sampler_lane_subwindow_border_zero_pad():
     np.testing.assert_allclose(out, ref, atol=5e-3)
 
 
+def test_window_sampler_rectangular_rows_only():
+    # full-width row-band windows (RY=64 rows, RX=384 lanes) with lane
+    # sub-windows doing the x-windowing — the stepped detector's rows-only
+    # crop shape
+    rng = np.random.default_rng(7)
+    n, ry, rx, l, s = 3, 64, 384, 4, 24
+    wins = rng.integers(0, 256, size=(n, ry, rx)).astype(np.float32)
+    cx = rng.uniform(12, rx - 12, (n, l)).astype(np.float32)
+    cy = rng.uniform(12, ry - 12, (n, l)).astype(np.float32)
+    phw = rng.uniform(5, 11, (n,)).astype(np.float32).round()
+    ref = dense(wins, cx, cy, phw, s, quantize=False)
+    out = np.asarray(sample_patches_window(
+        jnp.asarray(wins), jnp.asarray(cx), jnp.asarray(cy),
+        jnp.asarray(phw), s, sub_window=40, sub_window_x=256,
+        quantize=False, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=5e-3)
+
+
 def test_window_sampler_border_zero_pad():
     # patches overlapping the window border: zero outside, like the dense
     # sampler on the same windows
