@@ -5,8 +5,10 @@ wall-times each solver stage (/root/reference/include/superviseddescent/
 verbose_solver.hpp:60-103) and rcr-track prints per-frame latencies. Under
 jit those stages fuse, so the TPU-native equivalents are:
 
-  * :func:`timed` — wall-clock a device computation correctly
-    (block_until_ready), the analogue of the per-stage chrono prints;
+  * :func:`timed` — wall-clock a device computation correctly (fenced by
+    a data-dependent scalar readback — ``jax.block_until_ready`` returns
+    after *dispatch*, not execution, on tunneled backends; see
+    utils/timing.py), the analogue of the per-stage chrono prints;
   * :func:`trace` — wrap a block in a jax.profiler trace for XProf;
   * :func:`enable_nan_checks` — jax_debug_nans as the safety net analogous
     to the reference's (absent) sanitizers (SURVEY.md §5 race detection).
@@ -24,13 +26,15 @@ import jax
 def timed(fn, *args, label: str = "", stream=sys.stderr, **kwargs):
     """Run fn(*args) and print device-synchronised wall time.
 
-    Returns fn's result. Works for jitted functions: blocks on all output
-    leaves so the measurement includes device execution, like the
-    reference's explicit chrono brackets around Eigen calls.
+    Returns fn's result. Works for jitted functions: fences with a
+    data-dependent scalar readback so the measurement includes device
+    execution (block_until_ready alone does not wait on remote backends),
+    like the reference's explicit chrono brackets around Eigen calls.
     """
+    from superviseddescent_tpu.utils.timing import force
     t0 = time.perf_counter()
     out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
+    force(out)
     dt = (time.perf_counter() - t0) * 1000.0
     print(f"[timed] {label or getattr(fn, '__name__', 'fn')}: {dt:.2f} ms",
           file=stream, flush=True)
@@ -71,7 +75,8 @@ class LevelTimer:
         self.verbose = verbose
 
     def __call__(self, current_x):
-        jax.block_until_ready(current_x)
+        from superviseddescent_tpu.utils.timing import force
+        force(current_x)
         now = time.perf_counter()
         dt = (now - self._last) * 1000.0
         self._last = now

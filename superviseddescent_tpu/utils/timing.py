@@ -39,7 +39,11 @@ def force(tree) -> float:
 
     Returns the scalar (useful as an optimisation barrier on the host).
     """
-    leaves = jax.tree_util.tree_leaves(tree)
+    leaves = [x for x in jax.tree_util.tree_leaves(tree)
+              if isinstance(x, jax.Array)]
+    if not leaves:
+        jax.block_until_ready(tree)
+        return 0.0
     return float(_scalarize(leaves[-1]))
 
 
