@@ -251,6 +251,15 @@ class HogTransform:
         phw = jnp.floor(p.relative_patch_size * ied / 2.0 + 0.5)
         phw = jnp.maximum(phw, 1.0)
 
+        # transposed fast path: the window sampler's x-first dot order is
+        # ~25% cheaper on the MXU and hands bf16 patch^T rows straight to
+        # the transposed-input HOG kernel (half the HBM round-trip).
+        # Numerics are the fast-mode class (bf16 dots either way), so it
+        # is keyed on fast sampling + fast HOG only.
+        transposed = (self.patch_method == "window"
+                      and self.backend == "pallas"
+                      and self.sampling == "fast" and self.hog_fast)
+
         if self.patch_method == "window":
             from superviseddescent_tpu.ops.patches_pallas import (
                 max_patch_half, max_patch_half_x, sample_patches_window)
@@ -276,7 +285,10 @@ class HogTransform:
                 sub_window_x=(self.sub_windows_x[level]
                               if self.sub_windows_x else 0),
                 quantize=self.quantize,
-                sampling=self.sampling)                              # (N,L,S,S)
+                sampling=self.sampling,
+                transposed=transposed,
+                out_dtype=(jnp.bfloat16 if transposed
+                           else jnp.float32))                        # (N,L,S,S)
         elif self.patch_method == "dense":
             patches = extract_patches_dense(
                 self.images, image_indices,
@@ -292,7 +304,8 @@ class HogTransform:
             desc = hog_descriptor_pallas_flat(
                 patches.reshape(n * l, s * s), s,
                 p.cell_size, p.num_bins, p.variant,
-                fast=self.hog_fast)                                  # (N*L,F1)
+                fast=self.hog_fast,
+                transposed=transposed)                               # (N*L,F1)
         else:
             desc = hog_descriptor(patches.reshape(n * l, s, s),
                                   p.cell_size, p.num_bins, p.variant)

@@ -7,9 +7,9 @@ padded tiles (2.4x waste). This kernel flattens pixels into the lane axis:
 
   * patches arrive as (B, S*S) rows — elementwise work pads 3025 -> 3072
     lanes (1.5% waste instead of 137%);
-  * gradients use pltpu.roll by +-1 (x) and +-S (y) with a precomputed
-    border mask killing the wrapped/border lanes (the reference's interior
-    -only loops, hog.c:616-617);
+  * gradients use pltpu.roll by +-1 (x) and +-S (y); wrapped/border lanes
+    need no mask because their splat weights are exactly zero (the
+    reference's interior-only loops, hog.c:616-617);
   * the entire bilinear cell splat is ONE dot: the 2*O per-bin masked
     gradients are stacked on the sublane axis and contracted against a
     (S*S, C*C) combined tent matrix (K = 3025 deep — MXU-efficient);
@@ -40,14 +40,18 @@ from superviseddescent_tpu.ops.hog import (
 
 
 @functools.lru_cache(maxsize=None)
-def _flat_consts(size: int, cell_size: int):
+def _flat_consts(size: int, cell_size: int, transposed: bool = False):
     """Precomputed constants for the flat kernel.
 
-    Returns (w2, border_mask, m4):
+    Returns (w2, m4):
       w2: (S*S, C*C) combined tent weights, cells flattened CX-MAJOR
-          (c = cx*C + cy) and border pixels zeroed;
-      border_mask unused separately (folded into w2) but kept for gradients:
-          (1, S*S) 1.0 on interior pixels;
+          (c = cx*C + cy) and border pixels zeroed. The zeroed border
+          rows double as the gradient border mask: roll-wrapped border
+          gradients contribute exactly 0 through the splat dot, so no
+          separate interior mask is needed. With `transposed`, the pixel
+          index is (x, y) row-major (patches arrive transposed from the
+          sampler's x-first dot order) while the cell order stays the
+          reference's Matlab order;
       m4: (C*C, 4*C*C) block-neighbourhood sum matrix: energy @ m4 gives the
           four 2x2-block energy sums (factor order 1..4 of hog.c:978-981)
           for every cell, with clamped-index double counting.
@@ -62,11 +66,9 @@ def _flat_consts(size: int, cell_size: int):
     w1d[-1, :] = 0.0
     # w2[p=(y,x), c=(cx,cy)] = wy[y,cy] * wx[x,cx], cx-major cells
     w2 = np.einsum("yc,xd->yxdc", w1d, w1d).reshape(s * s, c * c)
-
-    mask = np.zeros((1, s * s), np.float32)
-    interior = np.zeros((s, s), np.float32)
-    interior[1:-1, 1:-1] = 1.0
-    mask[0] = interior.reshape(-1)
+    if transposed:
+        w2 = (w2.reshape(s, s, c * c).transpose(1, 0, 2)
+              .reshape(s * s, c * c))
 
     def cid(cx, cy):
         return int(np.clip(cx, 0, c - 1)) * c + int(np.clip(cy, 0, c - 1))
@@ -84,11 +86,12 @@ def _flat_consts(size: int, cell_size: int):
             for i, offsets in enumerate(blocks):
                 for (dx, dy) in offsets:
                     m4[cid(cx + dx, cy + dy), i * c * c + out_c] += 1.0
-    return (w2.astype(np.float32), mask, m4)
+    return (w2.astype(np.float32), m4)
 
 
-def _flat_kernel(p_ref, w2_ref, mask_ref, m4_ref, o_ref, g_scratch, *,
-                 size, cell_size, num_orientations, variant, block, fast):
+def _flat_kernel(p_ref, w2_ref, m4_ref, o_ref, g_scratch, *,
+                 size, cell_size, num_orientations, variant, block, fast,
+                 transposed):
     s = size
     o_count = num_orientations
     n_cells = hog_num_cells(s, cell_size)
@@ -96,29 +99,58 @@ def _flat_kernel(p_ref, w2_ref, mask_ref, m4_ref, o_ref, g_scratch, *,
     dtype = jnp.float32
     bb = block
 
-    img = p_ref[:]                                       # (BB, P)
-    mask = mask_ref[:]                                   # (1, P)
+    img = p_ref[:].astype(dtype)                         # (BB, P)
 
-    # central differences via lane rolls; border/wrap lanes masked out.
-    # pltpu.roll requires non-negative shifts: roll by -k == roll by P-k.
+    # central differences via lane rolls. Wrapped/border lanes are NOT
+    # masked: their w2 rows are exactly zero, so they contribute 0.0
+    # through the splat dot (the reference's interior-only loops,
+    # hog.c:616-617). pltpu.roll requires non-negative shifts:
+    # roll by -k == roll by P-k. Transposed patches have pixel index
+    # (x, y), so the +-1 rolls step y and the +-S rolls step x.
     pdim = s * s
-    gx = (pltpu.roll(img, pdim - 1, 1) - pltpu.roll(img, 1, 1)) * mask
-    gy = (pltpu.roll(img, pdim - s, 1) - pltpu.roll(img, s, 1)) * mask
+    dx1, dxs = (pdim - s, s) if transposed else (pdim - 1, 1)
+    dy1, dys = (pdim - 1, 1) if transposed else (pdim - s, s)
+    gx = pltpu.roll(img, dx1, 1) - pltpu.roll(img, dxs, 1)
+    gy = pltpu.roll(img, dy1, 1) - pltpu.roll(img, dys, 1)
     grad = jnp.sqrt(gx * gx + gy * gy)
 
-    # hard orientation assignment on unnormalised scores (argmax and sign
-    # are invariant to the positive magnitude normalisation, hog.c:645-672)
-    ov = _orientation_vectors(o_count)
-    best_score = jnp.zeros_like(grad)
-    best_bin = jnp.full(grad.shape, -1, jnp.int32)
-    for k in range(o_count):
-        sc = gx * float(ov[0, k]) + gy * float(ov[1, k])
-        neg = sc < 0
-        a = jnp.abs(sc)
-        bin_k = jnp.where(neg, k + o_count, k)
-        upd = a > best_score
-        best_score = jnp.where(upd, a, best_score)
-        best_bin = jnp.where(upd, bin_k, best_bin)
+    if fast and o_count == 4:
+        # direct sector classification: the argmax over the 8 directed
+        # bin scores is just "which multiple of pi/4 is the gradient
+        # angle nearest to" — two slope comparisons pick the axis
+        # (horizontal / vertical / one of the diagonals), the signs pick
+        # the direction. ~2.5x fewer VPU passes than the score loop;
+        # pixels exactly on a 22.5-degree sector boundary may resolve to
+        # the other adjacent bin than the reference's first-max-wins
+        # argmax (fast-mode noise class).
+        ax = jnp.abs(gx)
+        ay = jnp.abs(gy)
+        px = gx >= 0
+        py = gy >= 0
+        bin_h = jnp.where(px, 0, 4)
+        bin_v = jnp.where(py, 2, 6)
+        bin_d = jnp.where(px == py, jnp.where(px, 1, 5),
+                          jnp.where(py, 3, 7))
+        t_lo = 0.41421356237  # tan(pi/8)
+        t_hi = 2.41421356237  # tan(3*pi/8)
+        best_bin = jnp.where(
+            ay < ax * t_lo, bin_h,
+            jnp.where(ay > ax * t_hi, bin_v, bin_d))
+    else:
+        # hard orientation assignment on unnormalised scores (argmax and
+        # sign are invariant to the positive magnitude normalisation,
+        # hog.c:645-672)
+        ov = _orientation_vectors(o_count)
+        best_score = jnp.zeros_like(grad)
+        best_bin = jnp.full(grad.shape, -1, jnp.int32)
+        for k in range(o_count):
+            sc = gx * float(ov[0, k]) + gy * float(ov[1, k])
+            neg = sc < 0
+            a = jnp.abs(sc)
+            bin_k = jnp.where(neg, k + o_count, k)
+            upd = a > best_score
+            best_score = jnp.where(upd, a, best_score)
+            best_bin = jnp.where(upd, bin_k, best_bin)
 
     # stack per-bin masked gradients on the sublane axis, then ONE deep dot.
     # fast mode keeps the planes + dot in bf16 (halved scratch traffic +
@@ -187,22 +219,29 @@ def _flat_kernel(p_ref, w2_ref, mask_ref, m4_ref, o_ref, g_scratch, *,
 
 @functools.partial(jax.jit, static_argnames=(
     "size", "cell_size", "num_orientations", "variant", "block", "fast",
-    "interpret"))
+    "transposed", "interpret"))
 def hog_descriptor_pallas_flat(patches_flat: jnp.ndarray, size: int,
                                cell_size: int, num_orientations: int,
                                variant: HogVariant = HogVariant.Uoctti,
                                block: int = 0,
                                fast: bool = False,
+                               transposed: bool = False,
                                interpret: bool = False) -> jnp.ndarray:
     """(B, S*S) row-major flattened patches -> (B, C*C*D) descriptors.
 
     fast=True keeps the masked gradient planes and the cell-splat dot in
-    bf16: ~1.3x faster, ~0.4% relative descriptor noise (gradients round to
-    8 mantissa bits). Exact mode (default) matches the C goldens bit-wise.
+    bf16 and classifies orientations by sector comparison instead of the
+    score argmax: ~1.3x faster, ~0.4% relative descriptor noise
+    (gradients round to 8 mantissa bits; exact sector-boundary pixels may
+    bin differently). Exact mode (default) matches the C goldens bit-wise.
+    transposed: patches are flattened (x, y)-major (the window sampler's
+    transposed output); descriptors come out in the standard order.
     block: patch rows per grid step; 0 picks by measured sweep
     (scripts/sweep_hog_block.py on v5e): 512 for small patches, 256
     otherwise — larger blocks amortise the per-step VPU pipeline at the
     cost of scratch VMEM ((2*O*block, S*S) planes).
+    Input dtype may be bf16 (lossless for quantized pixels, half the
+    input stream); compute is f32 either way.
     """
     b, pdim = patches_flat.shape
     assert pdim == size * size
@@ -216,11 +255,11 @@ def hog_descriptor_pallas_flat(patches_flat: jnp.ndarray, size: int,
     if padded_b != b:
         patches_flat = jnp.pad(patches_flat, ((0, padded_b - b), (0, 0)))
 
-    w2, mask, m4 = _flat_consts(size, cell_size)
+    w2, m4 = _flat_consts(size, cell_size, transposed)
     kernel = functools.partial(
         _flat_kernel, size=size, cell_size=cell_size,
         num_orientations=num_orientations, variant=variant, block=block,
-        fast=fast)
+        fast=fast, transposed=transposed)
     out = pl.pallas_call(
         kernel,
         grid=(padded_b // block,),
@@ -228,8 +267,6 @@ def hog_descriptor_pallas_flat(patches_flat: jnp.ndarray, size: int,
             pl.BlockSpec((block, pdim), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((pdim, cc), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, pdim), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cc, 4 * cc), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -243,5 +280,5 @@ def hog_descriptor_pallas_flat(patches_flat: jnp.ndarray, size: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(patches_flat, jnp.asarray(w2), jnp.asarray(mask), jnp.asarray(m4))
+    )(patches_flat, jnp.asarray(w2), jnp.asarray(m4))
     return out[:b]

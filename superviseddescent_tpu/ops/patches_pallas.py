@@ -88,7 +88,7 @@ _PRECISIONS = {
 
 def _sampler_kernel(oxy_ref, sp_ref, win_ref, o_ref, *,
                     num_landmarks, out_size, sub_window, sub_window_x,
-                    roi_y, roi_x, quantize, sampling):
+                    roi_y, roi_x, quantize, sampling, transposed):
     s, w, wx, ry, rx = out_size, sub_window, sub_window_x, roi_y, roi_x
     l = num_landmarks
 
@@ -136,20 +136,34 @@ def _sampler_kernel(oxy_ref, sp_ref, win_ref, o_ref, *,
         ty = jnp.maximum(0.0, 1.0 - jnp.abs(cy - uy)).astype(mm_dtype)
         tx = jnp.maximum(0.0, 1.0 - jnp.abs(cx - ux)).astype(mm_dtype)
 
-        rows = jax.lax.dot_general(                             # (S,WX) f32
-            ty, sub, (((1,), (0,)), ((), ())),
-            precision=precision, preferred_element_type=jnp.float32)
-        patch = jax.lax.dot_general(                            # (S,S) f32
-            rows.astype(mm_dtype), tx, (((1,), (1,)), ((), ())),
-            precision=precision, preferred_element_type=jnp.float32)
+        if transposed:
+            # x-contraction first, emitting patch^T: replaces the
+            # N=WX-lane dot1 + N=S dot2 of the direct order with
+            # K=WX dot1 + K=W dot2 — ~25% fewer padded MXU FLOPs at
+            # serving shapes (both outputs pad S to 128 lanes, but the
+            # direct order's dot2 contracts WX > W). Consumers get
+            # patch[x, y]; pair with hog(..., transposed=True).
+            q = jax.lax.dot_general(                            # (S,W) f32
+                tx, sub, (((1,), (1,)), ((), ())),
+                precision=precision, preferred_element_type=jnp.float32)
+            patch = jax.lax.dot_general(                        # (S,S) f32
+                q.astype(mm_dtype), ty, (((1,), (1,)), ((), ())),
+                precision=precision, preferred_element_type=jnp.float32)
+        else:
+            rows = jax.lax.dot_general(                         # (S,WX) f32
+                ty, sub, (((1,), (0,)), ((), ())),
+                precision=precision, preferred_element_type=jnp.float32)
+            patch = jax.lax.dot_general(                        # (S,S) f32
+                rows.astype(mm_dtype), tx, (((1,), (1,)), ((), ())),
+                precision=precision, preferred_element_type=jnp.float32)
         if quantize:
             patch = jnp.clip(jnp.floor(patch + 0.5), 0.0, 255.0)
-        o_ref[0, lm] = patch
+        o_ref[0, lm] = patch.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "out_size", "sub_window", "sub_window_x", "quantize", "sampling",
-    "interpret"))
+    "transposed", "out_dtype", "interpret"))
 def sample_patches_window(windows: jnp.ndarray,
                           centers_x: jnp.ndarray,
                           centers_y: jnp.ndarray,
@@ -159,6 +173,8 @@ def sample_patches_window(windows: jnp.ndarray,
                           sub_window_x: int = 0,
                           quantize: bool = True,
                           sampling: str = None,
+                          transposed: bool = False,
+                          out_dtype=jnp.float32,
                           interpret: bool = False) -> jnp.ndarray:
     """Sample (N, L, S, S) patches from per-sample ROI windows.
 
@@ -175,6 +191,10 @@ def sample_patches_window(windows: jnp.ndarray,
     module caveat (callers should clamp via the max_patch_half helpers).
     sampling: 'exact' (f32 HIGHEST), 'high' (f32 bf16x3 passes) or 'fast'
     (bf16); default 'fast' for bf16 windows else 'exact'.
+    transposed: emit patch^T per landmark (out[n, l, x, y]) via the
+    cheaper x-first dot order — pair with a transposed-input HOG.
+    out_dtype: patch dtype (f32 default; bf16 is lossless for quantized
+    pixels and halves the hand-off traffic to a fused consumer).
     """
     n, ry, rx = windows.shape
     _, l = centers_x.shape
@@ -202,7 +222,7 @@ def sample_patches_window(windows: jnp.ndarray,
     kernel = functools.partial(
         _sampler_kernel, num_landmarks=l, out_size=s, sub_window=w,
         sub_window_x=wx, roi_y=ry, roi_x=rx, quantize=quantize,
-        sampling=sampling)
+        sampling=sampling, transposed=transposed)
     out = pl.pallas_call(
         kernel,
         grid=(n,),
@@ -220,7 +240,7 @@ def sample_patches_window(windows: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((1, l, s, s), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, l, s, s), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, l, s, s), out_dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

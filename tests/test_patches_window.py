@@ -150,3 +150,35 @@ def test_window_backend_with_chunking(monkeypatch):
     a = np.asarray(hog(jnp.asarray(x), 0))
     b = np.asarray(hogc(jnp.asarray(x), 0))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_window_sampler_transposed_matches_direct():
+    # transposed=True emits patch^T via the x-first dot order; same
+    # values as the direct order up to dot-order fp noise.
+    wins, cx, cy, phw = make_case(seed=3)
+    s = 24
+    ref = np.asarray(sample_patches_window(
+        jnp.asarray(wins), jnp.asarray(cx), jnp.asarray(cy),
+        jnp.asarray(phw), s, sub_window=48, quantize=False,
+        interpret=True))
+    out = np.asarray(sample_patches_window(
+        jnp.asarray(wins), jnp.asarray(cx), jnp.asarray(cy),
+        jnp.asarray(phw), s, sub_window=48, quantize=False,
+        transposed=True, interpret=True))
+    np.testing.assert_allclose(out.transpose(0, 1, 3, 2), ref, atol=5e-3)
+
+
+def test_window_sampler_bf16_output_dtype():
+    wins, cx, cy, phw = make_case(seed=4)
+    s = 16
+    out = sample_patches_window(
+        jnp.asarray(wins), jnp.asarray(cx), jnp.asarray(cy),
+        jnp.asarray(phw), s, sub_window=48, quantize=True,
+        out_dtype=jnp.bfloat16, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    ref = np.asarray(sample_patches_window(
+        jnp.asarray(wins), jnp.asarray(cx), jnp.asarray(cy),
+        jnp.asarray(phw), s, sub_window=48, quantize=True,
+        interpret=True))
+    # quantized pixels are integers 0..255: bf16 is lossless
+    np.testing.assert_array_equal(np.asarray(out, np.float32), ref)
