@@ -33,7 +33,8 @@ def main():
     from superviseddescent_tpu.ops.hog_pallas_flat import (
         hog_descriptor_pallas_flat)
     from superviseddescent_tpu.ops.patches_pallas import (
-        max_patch_half, min_sub_window, sample_patches_window)
+        max_patch_half, max_patch_half_x, min_sub_window, min_sub_window_x,
+        sample_patches_window)
 
     model = DetectionModel.load(os.path.join(REPO, "pretrained",
                                              "rcr22_lfpw5.bin"))
@@ -46,25 +47,32 @@ def main():
     cx = jnp.asarray(rng.uniform(200, 312, (batch, l)), jnp.float32)
     cy = jnp.asarray(rng.uniform(200, 312, (batch, l)), jnp.float32)
 
-    mi = roi / 2.13
+    mi = 145.0  # bench.py's measured max_ied bound for LFPW
     print(f"batch={batch} roi={roi} max_ied={mi:.0f}", flush=True)
     total_lvl = 0.0
     for li, p in enumerate(model.hog_params):
         w = min(roi, min_sub_window(p.relative_patch_size * mi + 2))
+        wx = min_sub_window_x(p.relative_patch_size * mi + 2)
+        wx = 0 if wx >= roi else wx
         phw = jnp.full((batch,), min(
-            round(p.relative_patch_size * 100 / 2), max_patch_half(w)),
+            round(p.relative_patch_size * 100 / 2), max_patch_half(w),
+            max_patch_half_x(wx) if wx else 1e9),
             jnp.float32)
         s = p.patch_size
 
         t_samp = timeit(lambda: sample_patches_window(
-            windows, cx, cy, phw, s, sub_window=w, sampling="fast"))
+            windows, cx, cy, phw, s, sub_window=w, sub_window_x=wx,
+            sampling="fast", transposed=True, out_dtype=jnp.bfloat16))
         patches = sample_patches_window(
-            windows, cx, cy, phw, s, sub_window=w, sampling="fast")
+            windows, cx, cy, phw, s, sub_window=w, sub_window_x=wx,
+            sampling="fast", transposed=True, out_dtype=jnp.bfloat16)
         flat = patches.reshape(batch * l, s * s)
         t_hog = timeit(lambda: hog_descriptor_pallas_flat(
-            flat, s, p.cell_size, p.num_bins, p.variant, fast=True))
+            flat, s, p.cell_size, p.num_bins, p.variant, fast=True,
+            transposed=True))
         desc = hog_descriptor_pallas_flat(
-            flat, s, p.cell_size, p.num_bins, p.variant, fast=True)
+            flat, s, p.cell_size, p.num_bins, p.variant, fast=True,
+            transposed=True)
         feats = jnp.concatenate(
             [desc.reshape(batch, -1), jnp.ones((batch, 1), jnp.float32)], 1)
         wmat = jnp.asarray(model.sdo.regressors[li].weights)
@@ -72,7 +80,7 @@ def main():
         t_gemv = timeit(lambda: gemv(feats, wmat))
         lvl = t_samp + t_hog + t_gemv
         total_lvl += lvl
-        print(f"level {li}: S={s} W={w} sampler {t_samp:6.2f} ms  "
+        print(f"level {li}: S={s} W={w} WX={wx} sampler {t_samp:6.2f} ms  "
               f"hog {t_hog:6.2f} ms  gemv {t_gemv:5.2f} ms  "
               f"sum {lvl:6.2f} ms", flush=True)
     print(f"sum of kernel stages over 4 levels: {total_lvl:.2f} ms "

@@ -243,6 +243,9 @@ def hog_descriptor_pallas_flat(patches_flat: jnp.ndarray, size: int,
     Input dtype may be bf16 (lossless for quantized pixels, half the
     input stream); compute is f32 either way.
     """
+    # Pallas TPU kernels only run interpreted on the CPU backend (tests,
+    # debugging); auto-switch so the serving path is portable
+    interpret = interpret or jax.default_backend() == "cpu"
     b, pdim = patches_flat.shape
     assert pdim == size * size
     if not block:

@@ -196,6 +196,9 @@ def sample_patches_window(windows: jnp.ndarray,
     out_dtype: patch dtype (f32 default; bf16 is lossless for quantized
     pixels and halves the hand-off traffic to a fused consumer).
     """
+    # Pallas TPU kernels only run interpreted on the CPU backend (tests,
+    # debugging); auto-switch so the window serving path is portable
+    interpret = interpret or jax.default_backend() == "cpu"
     n, ry, rx = windows.shape
     _, l = centers_x.shape
     s = out_size

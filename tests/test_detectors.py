@@ -80,3 +80,19 @@ def test_fast_sampling_close(trained):
     # bf16 multiplies: sub-pixel deltas only (on CPU DEFAULT==HIGHEST, so
     # this is a no-op there; on TPU ~0.1 px)
     np.testing.assert_allclose(fast, base, atol=0.5)
+
+
+def test_window_sampler_stepped_close(trained):
+    # the bench serving path (Pallas window sampler + transposed fast
+    # HOG), interpreted on CPU. Fast-mode numerics: sub-pixel deltas.
+    model, stack, boxes = trained
+    import jax.numpy as jnp
+    mono = np.asarray(model.detect_batch(
+        stack, boxes, image_indices=jnp.arange(len(boxes))))
+    stack128, _ = stack_images(
+        [np.asarray(stack[i]) for i in range(stack.shape[0])],
+        pad_width_to=128)
+    win = np.asarray(model.make_stepped_detector(
+        len(boxes), roi=512, sampling="fast", window_sampler=True,
+        max_ied=145.0)(stack128.astype(np.uint8), boxes))
+    np.testing.assert_allclose(win, mono, atol=0.5)
