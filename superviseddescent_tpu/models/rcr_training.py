@@ -123,25 +123,37 @@ class RcrTrainConfig:
 
 
 def _crop_face_windows(images, image_indices, faceboxes, roi):
-    """Host-side per-face ROI crop (dtype-preserving; uint8 stays uint8).
+    """Per-face ROI crop, on device (dtype-preserving; uint8 stays uint8).
 
-    Returns (windows (B, roi, roi), per-face origins (B, 2) [ox, oy]).
-    Origins are clamped inside each image, preserving the zero-pad border
-    semantics of the full stack.
+    The image stack is transferred once (it is small — a few unique
+    images); the (B, roi, roi) window stack is materialised by a jitted
+    batched dynamic_slice so it never exists host-side nor crosses the
+    host->device link (at 300-W scale that link transfer plus a Python
+    crop loop used to dominate the level-0 wall time).
+
+    Returns (windows (B, roi, roi) jax array, per-face origins (B, 2)
+    [ox, oy] numpy). Origins are clamped inside each image, preserving
+    the zero-pad border semantics of the full stack.
     """
-    images = np.asarray(images)
+    images = jnp.asarray(images)
     h, w = images.shape[1], images.shape[2]
     if h < roi or w < roi:
         raise ValueError(f"roi {roi} exceeds the image stack {h}x{w}")
     boxes = np.asarray(faceboxes, np.float32)
     cx = boxes[:, 0] + boxes[:, 2] / 2.0
     cy = boxes[:, 1] + boxes[:, 3] / 2.0
-    ox = np.clip(np.round(cx - roi / 2.0), 0, w - roi).astype(np.int64)
-    oy = np.clip(np.round(cy - roi / 2.0), 0, h - roi).astype(np.int64)
-    idx = np.asarray(image_indices)
-    windows = np.stack([
-        images[idx[i], oy[i]:oy[i] + roi, ox[i]:ox[i] + roi]
-        for i in range(boxes.shape[0])])
+    ox = np.clip(np.round(cx - roi / 2.0), 0, w - roi).astype(np.int32)
+    oy = np.clip(np.round(cy - roi / 2.0), 0, h - roi).astype(np.int32)
+    idx = np.asarray(image_indices, np.int32)
+
+    @jax.jit
+    def crop(stack, idx, oy, ox):
+        return jax.vmap(
+            lambda i, y0, x0: jax.lax.dynamic_slice(
+                stack, (i, y0, x0), (1, roi, roi))[0])(idx, oy, ox)
+
+    windows = crop(images, jnp.asarray(idx), jnp.asarray(oy),
+                   jnp.asarray(ox))
     return windows, np.stack([ox, oy], axis=1).astype(np.float32)
 
 
@@ -275,12 +287,13 @@ def train_rcr(images, groundtruth_rows, faceboxes,
             (lambda v: 0 if v >= config.roi else v)(
                 min_sub_window_x(p.relative_patch_size * 1.4 * max_ied + 2))
             for p in config.hog_params)
-        if np.asarray(images).dtype == np.uint8:
+        images = jnp.asarray(images)
+        if images.dtype == jnp.uint8:
             # pre-cast once: the pallas sampler cannot consume uint8, and
             # bf16 is lossless for 0..255 gray pixels
             target = (jnp.bfloat16 if config.sampling == "fast"
                       else jnp.float32)
-            images = jnp.asarray(images).astype(target)
+            images = images.astype(target)
 
     hog = HogTransform(images, config.hog_params, model_landmarks,
                        right_eye_ids, left_eye_ids,
