@@ -54,7 +54,7 @@ def main():
     boxes = np.stack([gt_facebox(to_landmark_collection(r, model_landmarks))
                       for r in gt]).astype(np.float32)
 
-    cfg = RcrTrainConfig(seed=0, roi=512, patch_backend="window",
+    cfg = RcrTrainConfig(seed=0, roi=512, patch_backend="window", hog_fast=True,
                          sampling="fast", solver_method="cholesky",
                          feature_chunk_size=2048)
 

@@ -120,6 +120,10 @@ class RcrTrainConfig:
     # requires roi). sampling: 'exact' | 'high' | 'fast' MXU precision.
     patch_backend: Optional[str] = None
     sampling: str = "exact"
+    # bf16 fast mode for the Pallas HOG kernel during feature extraction
+    # (~0.4% descriptor noise — same class as sampling='fast'); with the
+    # window backend it also enables the transposed sampler->HOG hand-off
+    hog_fast: bool = False
 
 
 def _crop_face_windows(images, image_indices, faceboxes, roi):
@@ -303,7 +307,8 @@ def train_rcr(images, groundtruth_rows, faceboxes,
                        patch_backend=config.patch_backend,
                        sub_windows=sub_windows,
                        sub_windows_x=sub_windows_x,
-                       sampling=config.sampling)
+                       sampling=config.sampling,
+                       hog_fast=config.hog_fast)
     norm = InterEyeDistanceNormalisation(model_landmarks, right_eye_ids,
                                          left_eye_ids)
     regressors = [LinearRegressor(regulariser=config.regularisation,

@@ -154,7 +154,10 @@ def _flat_kernel(p_ref, w2_ref, m4_ref, o_ref, g_scratch, *,
 
     # stack per-bin masked gradients on the sublane axis, then ONE deep dot.
     # fast mode keeps the planes + dot in bf16 (halved scratch traffic +
-    # bf16 MXU): gradients round to 8 mantissa bits, ~0.4% descriptor noise
+    # bf16 MXU): gradients round to 8 mantissa bits, ~0.4% descriptor noise.
+    # NB: keep the select in f32 and cast at the store — selecting on a
+    # pre-cast bf16 grad measures ~25% slower (mask relayout for 16-bit
+    # lanes beats the saved casts).
     g_dtype = g_scratch.dtype
     for o in range(2 * o_count):
         g_scratch[o * bb:(o + 1) * bb, :] = jnp.where(
