@@ -1,10 +1,11 @@
 """rcr-detect: detect landmarks in one image with a trained RCR model.
 
 CLI rebuild of /root/reference/apps/rcr/rcr-detect.cpp. The facebox comes
-from --facebox x,y,w,h, from ground-truth landmarks (--pts), or from a JSON
-file — the reference's OpenCV Haar face detector is an external component.
-Draws landmarks into an output PNG when --output is given (PIL instead of
-cv::circle).
+from --facebox x,y,w,h, from ground-truth landmarks (--pts), or from the
+built-in TPU-native Haar cascade face detector (-f/--face-detector <xml>,
+the same stock OpenCV cascade files the reference app loads,
+rcr-detect.cpp:58-63,110; models/facedetect.py). Draws landmarks into an
+output PNG when --output is given (PIL instead of cv::circle).
 """
 
 from __future__ import annotations
@@ -23,6 +24,9 @@ def main(argv=None):
     p.add_argument("--facebox", default=None, help="x,y,w,h")
     p.add_argument("--pts", default=None,
                    help="derive the facebox from this ground-truth .pts file")
+    p.add_argument("-f", "--face-detector", default=None,
+                   help="OpenCV Haar cascade XML for built-in face "
+                        "detection (e.g. haarcascade_frontalface_alt2.xml)")
     p.add_argument("-o", "--output", default=None,
                    help="output image with drawn landmarks")
     args = p.parse_args(argv)
@@ -44,8 +48,17 @@ def main(argv=None):
         from superviseddescent_tpu.io import read_pts_landmarks
         lms = read_pts_landmarks(args.pts).filter(model.landmark_ids)
         box = gt_facebox(lms)
+    elif args.face_detector:
+        from superviseddescent_tpu.models.facedetect import HaarCascadeDetector
+        det = HaarCascadeDetector(args.face_detector, scale_factor=1.2,
+                                  min_neighbors=2, min_size=(50, 50))
+        boxes = det.detect(np.asarray(image))
+        if len(boxes) == 0:
+            print("No face detected.")
+            return 1
+        box = tuple(float(v) for v in boxes[0])
     else:
-        print("Provide --facebox or --pts (no built-in face detector).")
+        print("Provide --facebox, --pts, or --face-detector <cascade.xml>.")
         return 1
 
     landmarks = model.detect(image, box)

@@ -34,8 +34,12 @@ def main(argv=None):
     p.add_argument("-m", "--model", required=True)
     p.add_argument("-f", "--frames", required=True,
                    help="directory of frames (*.png / *.jpg, sorted)")
-    p.add_argument("--facebox", required=True,
+    p.add_argument("--facebox", default=None,
                    help="initial facebox x,y,w,h for the first frame")
+    p.add_argument("--face-detector", default=None,
+                   help="OpenCV Haar cascade XML: detect the initial "
+                        "facebox (and re-detect on tracking loss) like the "
+                        "reference app (rcr-track.cpp:141)")
     p.add_argument("-o", "--output-dir", default=None,
                    help="write annotated frames here")
     args = p.parse_args(argv)
@@ -50,7 +54,21 @@ def main(argv=None):
     if not frames:
         raise SystemExit(f"no frames in {args.frames}")
 
-    box = tuple(float(v) for v in args.facebox.split(","))
+    face_det = None
+    if args.face_detector:
+        from superviseddescent_tpu.models.facedetect import HaarCascadeDetector
+        face_det = HaarCascadeDetector(args.face_detector, scale_factor=1.2,
+                                       min_neighbors=2, min_size=(50, 50))
+    if args.facebox:
+        box = tuple(float(v) for v in args.facebox.split(","))
+    elif face_det is not None:
+        first = load_gray_image(frames[0])
+        boxes = face_det.detect(np.asarray(first))
+        if len(boxes) == 0:
+            raise SystemExit("no face detected in the first frame")
+        box = tuple(float(v) for v in boxes[0])
+    else:
+        raise SystemExit("provide --facebox or --face-detector")
     prev_row = None
     for i, path in enumerate(frames):
         image = load_gray_image(path)

@@ -42,9 +42,31 @@ def load_dataset(directory, model_landmarks):
     return images, np.stack(rows), full_landmarks
 
 
-def resolve_faceboxes(source, full_landmarks, rows, model_landmarks):
+def resolve_faceboxes(source, full_landmarks, rows, model_landmarks,
+                      images=None):
     from superviseddescent_tpu.models import gt_facebox
     from superviseddescent_tpu.utils.landmarks import to_landmark_collection
+    if source.startswith("cascade:"):
+        # the reference pipeline: Haar face detection + check_face
+        # true-positive filter, discarding images whose face is not found
+        # (rcr-train.cpp:383-436) — here with the TPU-native cascade
+        # evaluator instead of OpenCV
+        from superviseddescent_tpu.models.facedetect import HaarCascadeDetector
+        from superviseddescent_tpu.utils.landmarks import check_face
+        det = HaarCascadeDetector(source[len("cascade:"):], scale_factor=1.2,
+                                  min_neighbors=2, min_size=(50, 50))
+        kept, out = [], []
+        for i, (img, full) in enumerate(zip(images, full_landmarks)):
+            boxes = det.detect(np.asarray(img))
+            good = [b for b in boxes if check_face([b], full)]
+            if good:
+                kept.append(i)
+                out.append(good[0])
+            else:
+                print(f"image {i}: skipped (no verified face detection)")
+        if not out:
+            raise SystemExit("face detection found no usable training faces")
+        return np.asarray(out, np.float32), kept
     if source == "gt":
         return np.stack([
             gt_facebox(to_landmark_collection(r, model_landmarks))
@@ -80,7 +102,9 @@ def main(argv=None):
     p.add_argument("-t", "--test-data", default=None,
                    help="optional test-set directory for evaluation")
     p.add_argument("--facebox-source", default="gt",
-                   help="'gt' (from landmarks) or 'file:<boxes.json>'")
+                   help="'gt' (from landmarks), 'file:<boxes.json>', or "
+                        "'cascade:<haar.xml>' (built-in TPU face detector "
+                        "+ check_face filter, like the reference app)")
     p.add_argument("--num-perturbations", type=int, default=10)
     p.add_argument("--lambda-factor", type=float, default=1.5,
                    help="MatrixNorm regularisation factor (reference: 1.5)")
@@ -130,7 +154,7 @@ def main(argv=None):
 
     images, gt_rows, full_lms = load_dataset(args.data, model_landmarks)
     boxes, kept = resolve_faceboxes(args.facebox_source, full_lms, gt_rows,
-                                    model_landmarks)
+                                    model_landmarks, images=images)
     images = [images[i] for i in kept]
     gt_rows = gt_rows[kept]
     print(f"Kept {len(images)} images.")
@@ -177,7 +201,8 @@ def main(argv=None):
         t_images, t_rows, t_full = load_dataset(args.test_data,
                                                 model_landmarks)
         t_boxes, t_kept = resolve_faceboxes(args.facebox_source, t_full,
-                                            t_rows, model_landmarks)
+                                            t_rows, model_landmarks,
+                                            images=t_images)
         t_images = [t_images[i] for i in t_kept]
         t_rows = t_rows[t_kept]
         print(f"Kept {len(t_images)} test images.")

@@ -1,3 +1,7 @@
+from superviseddescent_tpu.models.facedetect import (
+    HaarCascadeDetector,
+    group_rectangles,
+)
 from superviseddescent_tpu.models.pose import PoseProjection
 from superviseddescent_tpu.models.rcr import (
     DetectionModel,
@@ -17,6 +21,8 @@ from superviseddescent_tpu.models.rcr_training import (
 )
 
 __all__ = [
+    "HaarCascadeDetector",
+    "group_rectangles",
     "PoseProjection",
     "DetectionModel",
     "HogParams",

@@ -1,0 +1,226 @@
+"""TPU-native Viola-Jones face detection (Haar cascade evaluator).
+
+The reference library leaves face detection to OpenCV's
+``CascadeClassifier::detectMultiScale`` (rcr-detect.cpp:110,
+rcr-train.cpp:410, rcr-track.cpp:141; default model
+``haarcascade_frontalface_alt2.xml``). This module makes the framework
+standalone: it evaluates the same stock OpenCV cascade files on device,
+redesigned for the MXU instead of the reference's per-window integral-image
+scalar loops:
+
+  * Every Haar feature is linear in the window's pixels, so the whole
+    weak-classifier bank evaluates as TWO matmuls: window patches
+    ``(N, wh*ww)`` against the node-0 / node-1 pixel-weight banks
+    ``(wh*ww, T)`` built by ``io/haar.py``. No integral images, no
+    per-feature gathers — the MXU computes every tree of every window.
+  * There is no per-window early exit (that is data-dependent control
+    flow); instead all S stage sums are computed densely and combined
+    with a running pass mask. The wasted FLOPs are MXU-cheap; the
+    branchy reference algorithm becomes 2 matmuls + static slicing.
+  * Variance normalisation folds into the node comparison:
+    ``raw/nf < t  <=>  raw < t*nf`` (nf > 0), so no divisions.
+  * The scale pyramid resizes the image (like OpenCV's new
+    implementation) and reuses the one compiled single-scale program per
+    image shape.
+
+Numerics: window pixel sums are exact in f32 (integer pixel values,
+integer rect weights); the squared-sum for the norm factor can round in
+the last bits vs OpenCV's integer integrals, so windows razor-close to a
+node threshold may flip — detections match cv2 up to such boundary
+windows (see tests/test_facedetect.py's IoU cross-check against cv2).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from superviseddescent_tpu.io.haar import HaarCascadeData, parse_opencv_cascade
+
+
+@functools.partial(jax.jit, static_argnames=("wh", "ww", "stride",
+                                             "stage_bounds"))
+def _evaluate_scale(image, bank0, bank1, thresh0, thresh1, flip0, leaves,
+                    stage_thresholds, norm_mask, wh: int, ww: int,
+                    stride: int, stage_bounds: Tuple[int, ...]):
+    """Dense cascade evaluation over every stride-aligned window.
+
+    image: (H, W) f32 grayscale. Returns (oh, ow) bool pass mask.
+    """
+    img = image[None, None, :, :]                           # NCHW
+    patches = jax.lax.conv_general_dilated_patches(
+        img, filter_shape=(wh, ww), window_strides=(stride, stride),
+        padding="VALID")                                    # (1, wh*ww, oh, ow)
+    _, d, oh, ow = patches.shape
+    p = patches.reshape(d, oh * ow).T                       # (N, wh*ww)
+
+    # inner-rect variance norm factor (OpenCV normrect = (1,1,w-2,h-2)):
+    # nf = sqrt(area*sumsq - sum^2), or 1 if non-positive
+    area = jnp.sum(norm_mask)
+    s = p @ norm_mask                                       # (N,)
+    sq = (p * p) @ norm_mask
+    var = area * sq - s * s
+    nf = jnp.where(var > 0.0, jnp.sqrt(jnp.maximum(var, 0.0)), 1.0)
+
+    raw0 = jax.lax.dot_general(
+        p, bank0, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)                # (N, T)
+    raw1 = jax.lax.dot_general(
+        p, bank1, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
+    nfc = nf[:, None]
+    # flip0: trees whose TRUE branch descends to node 1 (swapped children
+    # in the XML) — XOR the node-0 comparison so "True" always means leaf 0
+    cond0 = jnp.logical_xor(raw0 < thresh0[None, :] * nfc, flip0[None, :])
+    leaf = jnp.where(cond0,
+                     leaves[None, :, 0],
+                     jnp.where(raw1 < thresh1[None, :] * nfc,
+                               leaves[None, :, 1],
+                               leaves[None, :, 2]))         # (N, T)
+
+    passed = jnp.ones((p.shape[0],), bool)
+    for si in range(len(stage_bounds) - 1):
+        a, b = stage_bounds[si], stage_bounds[si + 1]
+        stage_sum = jnp.sum(leaf[:, a:b], axis=1)
+        passed = jnp.logical_and(passed, stage_sum >= stage_thresholds[si])
+    return passed.reshape(oh, ow)
+
+
+def group_rectangles(boxes: np.ndarray, min_neighbors: int,
+                     eps: float = 0.2) -> np.ndarray:
+    """OpenCV-style groupRectangles: cluster similar boxes, average each
+    cluster, drop clusters with <= min_neighbors members, prune averaged
+    boxes contained in bigger ones (cascadedetect.cpp groupRectangles)."""
+    n = len(boxes)
+    if n == 0:
+        return np.zeros((0, 4), np.float32)
+    parent = np.arange(n)
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    b = np.asarray(boxes, np.float32)
+    for i in range(n):
+        for j in range(i + 1, n):
+            delta = eps * (min(b[i, 2], b[j, 2]) + min(b[i, 3], b[j, 3])) * 0.5
+            if (abs(b[i, 0] - b[j, 0]) <= delta
+                    and abs(b[i, 1] - b[j, 1]) <= delta
+                    and abs(b[i, 0] + b[i, 2] - b[j, 0] - b[j, 2]) <= delta
+                    and abs(b[i, 1] + b[i, 3] - b[j, 1] - b[j, 3]) <= delta):
+                pi, pj = find(i), find(j)
+                if pi != pj:
+                    parent[pj] = pi
+    roots = np.array([find(i) for i in range(n)])
+    out, counts = [], []
+    for r in np.unique(roots):
+        members = b[roots == r]
+        if len(members) <= min_neighbors:
+            continue
+        out.append(members.mean(axis=0))
+        counts.append(len(members))
+    if not out:
+        return np.zeros((0, 4), np.float32)
+    out = np.stack(out)
+    # prune boxes contained inside a bigger grouped box
+    keep = np.ones(len(out), bool)
+    for i in range(len(out)):
+        for j in range(len(out)):
+            if i == j or not keep[j]:
+                continue
+            dx, dy = out[j, 2] * 0.2, out[j, 3] * 0.2
+            if (out[i, 0] >= out[j, 0] - dx
+                    and out[i, 1] >= out[j, 1] - dy
+                    and out[i, 0] + out[i, 2] <= out[j, 0] + out[j, 2] + dx
+                    and out[i, 1] + out[i, 3] <= out[j, 1] + out[j, 3] + dy
+                    and counts[j] > max(3, counts[i])):
+                keep[i] = False
+                break
+    return out[keep]
+
+
+class HaarCascadeDetector:
+    """detectMultiScale-equivalent built on the batched MXU evaluator.
+
+    Drop-in for the reference apps' OpenCV face detection step — loads
+    the same XML cascade files (e.g.
+    /usr/share/opencv4/haarcascades/haarcascade_frontalface_alt2.xml).
+    """
+
+    def __init__(self, cascade, scale_factor: float = 1.2,
+                 min_neighbors: int = 2,
+                 min_size: Tuple[int, int] = (50, 50),
+                 max_size: Optional[Tuple[int, int]] = None):
+        if isinstance(cascade, str):
+            cascade = parse_opencv_cascade(cascade)
+        self.data: HaarCascadeData = cascade
+        self.scale_factor = float(scale_factor)
+        self.min_neighbors = int(min_neighbors)
+        self.min_size = tuple(min_size)
+        self.max_size = tuple(max_size) if max_size else None
+        d = self.data
+        mask = np.zeros((d.window_height, d.window_width), np.float32)
+        mask[1:-1, 1:-1] = 1.0
+        self._norm_mask = jnp.asarray(mask.reshape(-1))
+        self._bank0 = jnp.asarray(d.bank0)
+        self._bank1 = jnp.asarray(d.bank1)
+        self._thresh0 = jnp.asarray(d.thresh0)
+        self._thresh1 = jnp.asarray(d.thresh1)
+        self._flip0 = jnp.asarray(d.flip0)
+        self._leaves = jnp.asarray(d.leaves)
+        self._stage_thresholds = jnp.asarray(d.stage_thresholds)
+        self._stage_bounds = tuple(int(v) for v in d.stage_bounds)
+
+    def detect(self, image) -> np.ndarray:
+        """Detect objects in a grayscale image.
+
+        Returns (K, 4) float32 [x, y, w, h] boxes in image coordinates
+        (grouped, like OpenCV's detectMultiScale).
+        """
+        img = np.asarray(image, np.float32)
+        if img.ndim != 2:
+            raise ValueError("expected a (H, W) grayscale image")
+        h, w = img.shape
+        d = self.data
+        candidates: List[np.ndarray] = []
+        factor = 1.0
+        while True:
+            win_w = d.window_width * factor
+            win_h = d.window_height * factor
+            if win_w > w or win_h > h:
+                break
+            if self.max_size and (win_w > self.max_size[0]
+                                  or win_h > self.max_size[1]):
+                break
+            sw = int(round(w / factor))
+            sh = int(round(h / factor))
+            if (win_w >= self.min_size[0] and win_h >= self.min_size[1]
+                    and sw >= d.window_width and sh >= d.window_height):
+                scaled = jax.image.resize(jnp.asarray(img), (sh, sw),
+                                          method="linear", antialias=False)
+                stride = 1 if factor > 2.0 else 2
+                mask = np.asarray(_evaluate_scale(
+                    scaled, self._bank0, self._bank1, self._thresh0,
+                    self._thresh1, self._flip0, self._leaves,
+                    self._stage_thresholds,
+                    self._norm_mask, d.window_height, d.window_width,
+                    stride, self._stage_bounds))
+                ys, xs = np.nonzero(mask)
+                for y, x in zip(ys, xs):
+                    candidates.append(np.float32([
+                        round(x * stride * factor),
+                        round(y * stride * factor),
+                        round(d.window_width * factor),
+                        round(d.window_height * factor)]))
+            factor *= self.scale_factor
+        boxes = (np.stack(candidates) if candidates
+                 else np.zeros((0, 4), np.float32))
+        if self.min_neighbors > 0:
+            return group_rectangles(boxes, self.min_neighbors)
+        return boxes

@@ -1,0 +1,115 @@
+"""TPU-native Haar cascade face detection (models/facedetect.py).
+
+Validates the MXU cascade evaluator against the stock OpenCV
+haarcascade_frontalface_alt2.xml on the bundled LFPW images, using the
+reference's own true-positive criterion (check_face: GT landmarks
+37/46/58 inside the detected box, helpers.hpp:106-131). cv2 5.x dropped
+CascadeClassifier so no direct OpenCV cross-check is possible in this
+image; the parser/evaluator semantics are documented against
+cascadedetect.cpp in io/haar.py.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+XML = "/usr/share/opencv4/haarcascades/haarcascade_frontalface_alt2.xml"
+DATA = "/root/reference/examples/data/ibug_lfpw_trainset"
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.exists(XML) and os.path.isdir(DATA)),
+    reason="stock cascade XML or reference data absent")
+
+
+@pytest.fixture(scope="module")
+def detector():
+    from superviseddescent_tpu.models.facedetect import HaarCascadeDetector
+    return HaarCascadeDetector(XML, scale_factor=1.2, min_neighbors=2,
+                               min_size=(50, 50))
+
+
+def test_parse_alt2():
+    from superviseddescent_tpu.io.haar import parse_opencv_cascade
+    d = parse_opencv_cascade(XML)
+    assert (d.window_width, d.window_height) == (20, 20)
+    assert d.num_stages == 20
+    assert d.num_trees == d.bank0.shape[1] == d.bank1.shape[1]
+    assert d.stage_bounds[0] == 0 and d.stage_bounds[-1] == d.num_trees
+    # every node-0 feature must move some pixel mass
+    assert (np.abs(d.bank0).sum(axis=0) > 0).all()
+
+
+def test_detects_lfpw_faces(detector):
+    """The true face is found in each bundled LFPW image (reference
+    check_face criterion), with few false positives."""
+    from superviseddescent_tpu.io import read_pts_landmarks
+    from superviseddescent_tpu.ops.patches import load_gray_image
+    from superviseddescent_tpu.utils.landmarks import check_face
+
+    found, total_boxes, images = 0, 0, 0
+    for png in sorted(glob.glob(os.path.join(DATA, "*.png"))):
+        img = np.asarray(load_gray_image(png))
+        gt = read_pts_landmarks(png.replace(".png", ".pts"))
+        boxes = detector.detect(img)
+        total_boxes += len(boxes)
+        images += 1
+        if any(check_face([b], gt) for b in boxes):
+            found += 1
+    assert images == 5
+    assert found >= 4, f"only {found}/5 faces found"
+    assert total_boxes <= 3 * images, f"too many detections: {total_boxes}"
+
+
+def test_group_rectangles():
+    from superviseddescent_tpu.models.facedetect import group_rectangles
+    boxes = np.float32([[10, 10, 50, 50], [12, 11, 50, 50], [11, 12, 49, 51],
+                        [200, 200, 40, 40]])
+    out = group_rectangles(boxes, min_neighbors=2)
+    # the 3-member cluster survives (its average), the singleton is dropped
+    assert out.shape == (1, 4)
+    np.testing.assert_allclose(out[0], boxes[:3].mean(axis=0))
+    out0 = group_rectangles(boxes, min_neighbors=0)
+    assert out0.shape[0] == 2
+
+
+def test_synthetic_stump_cascade(tmp_path):
+    """End-to-end parse + evaluate on a hand-built single-stump cascade:
+    passes exactly where the window's center rect is brighter than the
+    surround (feature value > threshold picks the 'face' leaf)."""
+    xml = tmp_path / "toy.xml"
+    xml.write_text("""<?xml version="1.0"?>
+<opencv_storage>
+<cascade type_id="opencv-cascade-classifier"><stageType>BOOST</stageType>
+  <featureType>HAAR</featureType>
+  <height>8</height><width>8</width>
+  <stageParams><maxWeakCount>1</maxWeakCount></stageParams>
+  <featureParams><maxCatCount>0</maxCatCount></featureParams>
+  <stageNum>1</stageNum>
+  <stages>
+    <_>
+      <maxWeakCount>1</maxWeakCount>
+      <stageThreshold>0.5</stageThreshold>
+      <weakClassifiers>
+        <_>
+          <internalNodes>0 -1 0 2.0</internalNodes>
+          <leafValues>0. 1.</leafValues></_></weakClassifiers></_>
+  </stages>
+  <features>
+    <_>
+      <rects>
+        <_>0 0 8 8 -1.</_>
+        <_>2 2 4 4 4.</_></rects></_>
+  </features>
+</cascade>
+</opencv_storage>
+""")
+    from superviseddescent_tpu.models.facedetect import HaarCascadeDetector
+    det = HaarCascadeDetector(str(xml), min_neighbors=0, min_size=(8, 8))
+    img = np.zeros((32, 32), np.float32)
+    img[12:16, 12:16] = 255.0  # bright 4x4 blob at (12, 12)
+    boxes = det.detect(img)
+    assert len(boxes) >= 1
+    # the strongest alignment is the window whose inner rect covers the blob
+    assert any(b[0] == 10 and b[1] == 10 for b in boxes), boxes
