@@ -96,7 +96,7 @@ def main():
                       retrain="--train" in sys.argv)
 
     # ---------------- throughput: batched detect ---------------- #
-    batch = 1024
+    batch = 4096
     n_img = stack.shape[0]
     sel = np.arange(batch) % n_img
     # uint8 on device: gray pixels are integers, so this is lossless and

@@ -204,6 +204,15 @@ class HaarCascadeDetector:
                     and sw >= d.window_width and sh >= d.window_height):
                 scaled = jax.image.resize(jnp.asarray(img), (sh, sw),
                                           method="linear", antialias=False)
+                # bucket the evaluated shape to multiples of 64 so the
+                # jitted program is reused across scales/images (one
+                # compile per bucket, not per exact size); the mask is
+                # cropped back to positions valid for the true size, so
+                # the zero padding cannot add detections
+                bh = -(-sh // 64) * 64
+                bw = -(-sw // 64) * 64
+                if (bh, bw) != (sh, sw):
+                    scaled = jnp.pad(scaled, ((0, bh - sh), (0, bw - sw)))
                 stride = 1 if factor > 2.0 else 2
                 mask = np.asarray(_evaluate_scale(
                     scaled, self._bank0, self._bank1, self._thresh0,
@@ -211,7 +220,9 @@ class HaarCascadeDetector:
                     self._stage_thresholds,
                     self._norm_mask, d.window_height, d.window_width,
                     stride, self._stage_bounds))
-                ys, xs = np.nonzero(mask)
+                oh = (sh - d.window_height) // stride + 1
+                ow = (sw - d.window_width) // stride + 1
+                ys, xs = np.nonzero(mask[:oh, :ow])
                 for y, x in zip(ys, xs):
                     candidates.append(np.float32([
                         round(x * stride * factor),
