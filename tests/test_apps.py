@@ -71,3 +71,19 @@ def test_rcr_track(trained_model):
     assert r.returncode == 0, r.stderr[-2000:]
     assert r.stdout.count("frame ") == 5
     assert "fit" in r.stdout
+
+
+XML = "/usr/share/opencv4/haarcascades/haarcascade_frontalface_alt2.xml"
+
+
+@pytest.mark.skipif(not os.path.exists(XML), reason="stock cascade absent")
+def test_rcr_detect_with_face_detector(trained_model):
+    # the fully standalone pipeline: built-in Haar face detection feeds
+    # the landmark cascade (reference rcr-detect.cpp:110 flow)
+    r = run(["superviseddescent_tpu.apps.rcr_detect",
+             "-m", str(trained_model),
+             "-i", os.path.join(DATA, "image_0001.png"),
+             "-f", XML])
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [l for l in r.stdout.splitlines() if ": " in l]
+    assert len(lines) >= 22
