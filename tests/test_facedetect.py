@@ -113,3 +113,21 @@ def test_synthetic_stump_cascade(tmp_path):
     assert len(boxes) >= 1
     # the strongest alignment is the window whose inner rect covers the blob
     assert any(b[0] == 10 and b[1] == 10 for b in boxes), boxes
+
+
+def test_parse_all_stock_frontal_cascades():
+    """Every stock frontal-face cascade parses; tilted-feature cascades
+    raise a clean ValueError (tilted rects are out of scope — faces
+    don't need them)."""
+    import glob
+    from superviseddescent_tpu.io.haar import parse_opencv_cascade
+    ok, skipped = 0, 0
+    for p in sorted(glob.glob("/usr/share/opencv4/haarcascades/*.xml")):
+        try:
+            d = parse_opencv_cascade(p)
+            assert d.num_trees > 0 and d.num_stages > 0
+            ok += 1
+        except ValueError:
+            skipped += 1
+    assert ok >= 5, (ok, skipped)  # eye, catface, alt, alt2, alt_tree,
+    #                                default, profileface parse here
