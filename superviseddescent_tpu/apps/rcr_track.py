@@ -69,6 +69,18 @@ def main(argv=None):
         box = tuple(float(v) for v in boxes[0])
     else:
         raise SystemExit("provide --facebox or --face-detector")
+    def estimate_ok(row, shape):
+        """Sanity of the tracked estimate: finite, not collapsed, and not
+        drifted out of frame — on failure we re-initialise from a facebox
+        (the reference's re-detect-on-loss intent, rcr-track.cpp:168-177,
+        which it stubs out by re-detecting every frame)."""
+        if not np.isfinite(row).all():
+            return False
+        x, y, w, h = enclosing_bbox(row)
+        hh, ww = shape
+        return (w > 5 and h > 5 and x + w > 0 and y + h > 0
+                and x < ww and y < hh)
+
     prev_row = None
     for i, path in enumerate(frames):
         image = load_gray_image(path)
@@ -81,6 +93,13 @@ def main(argv=None):
         prev_row = to_row(lms)
         print(f"frame {i} ({os.path.basename(path)}): fit {fit_ms:.1f} ms, "
               f"bbox {tuple(round(v, 1) for v in enclosing_bbox(prev_row))}")
+        if not estimate_ok(prev_row, np.asarray(image).shape):
+            print(f"frame {i}: tracking lost, re-initialising")
+            if face_det is not None:
+                redetected = face_det.detect(np.asarray(image))
+                if len(redetected):
+                    box = tuple(float(v) for v in redetected[0])
+            prev_row = None  # next frame restarts from the facebox
         if args.output_dir:
             from PIL import Image, ImageDraw
             os.makedirs(args.output_dir, exist_ok=True)

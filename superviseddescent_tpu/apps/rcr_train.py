@@ -58,10 +58,12 @@ def resolve_faceboxes(source, full_landmarks, rows, model_landmarks,
         kept, out = [], []
         for i, (img, full) in enumerate(zip(images, full_landmarks)):
             boxes = det.detect(np.asarray(img))
-            good = [b for b in boxes if check_face([b], full)]
-            if good:
+            # the reference checks only the FIRST detection and discards
+            # the image if it fails (rcr-train.cpp:410-417 -> check_face
+            # inspects detected_faces[0], helpers.hpp:106-131)
+            if check_face(boxes, full):
                 kept.append(i)
-                out.append(good[0])
+                out.append(boxes[0])
             else:
                 print(f"image {i}: skipped (no verified face detection)")
         if not out:

@@ -26,8 +26,12 @@ scalar loops:
 Numerics: window pixel sums are exact in f32 (integer pixel values,
 integer rect weights); the squared-sum for the norm factor can round in
 the last bits vs OpenCV's integer integrals, so windows razor-close to a
-node threshold may flip — detections match cv2 up to such boundary
-windows (see tests/test_facedetect.py's IoU cross-check against cv2).
+node threshold may flip. cv2 5.x removed CascadeClassifier, so there is
+no OpenCV run to diff against in this environment; validation is against
+the reference's own check_face ground-truth criterion on the bundled
+LFPW images plus an exactly-predictable synthetic cascade
+(tests/test_facedetect.py), with the evaluator semantics documented
+line-by-line against cascadedetect.cpp in io/haar.py.
 """
 
 from __future__ import annotations
@@ -59,10 +63,15 @@ def _evaluate_scale(image, bank0, bank1, thresh0, thresh1, flip0, leaves,
     p = patches.reshape(d, oh * ow).T                       # (N, wh*ww)
 
     # inner-rect variance norm factor (OpenCV normrect = (1,1,w-2,h-2)):
-    # nf = sqrt(area*sumsq - sum^2), or 1 if non-positive
+    # nf = sqrt(area*sumsq - sum^2), or 1 if non-positive. HIGHEST
+    # precision: squared pixels need 16 mantissa bits, and the variance
+    # is a catastrophic cancellation — bf16 multiplies would corrupt nf
+    # (and with it every threshold comparison) on TPU.
     area = jnp.sum(norm_mask)
-    s = p @ norm_mask                                       # (N,)
-    sq = (p * p) @ norm_mask
+    s = jnp.dot(p, norm_mask,
+                precision=jax.lax.Precision.HIGHEST)        # (N,)
+    sq = jnp.dot(p * p, norm_mask,
+                 precision=jax.lax.Precision.HIGHEST)
     var = area * sq - s * s
     nf = jnp.where(var > 0.0, jnp.sqrt(jnp.maximum(var, 0.0)), 1.0)
 
@@ -88,6 +97,31 @@ def _evaluate_scale(image, bank0, bank1, thresh0, thresh1, flip0, leaves,
         stage_sum = jnp.sum(leaf[:, a:b], axis=1)
         passed = jnp.logical_and(passed, stage_sum >= stage_thresholds[si])
     return passed.reshape(oh, ow)
+
+
+@functools.partial(jax.jit, static_argnames=("sh", "sw", "bh", "bw"))
+def _resize_pad(img, sh: int, sw: int, bh: int, bw: int):
+    """Pyramid step: resize (cv2-style bilinear, no antialias) + zero-pad
+    to the compile bucket, in one jitted program."""
+    scaled = jax.image.resize(img, (sh, sw), method="linear",
+                              antialias=False)
+    if (bh, bw) != (sh, sw):
+        scaled = jnp.pad(scaled, ((0, bh - sh), (0, bw - sw)))
+    return scaled
+
+
+@functools.partial(jax.jit, static_argnames=("bph", "wh", "ww", "stride",
+                                             "stage_bounds"))
+def _evaluate_band(image, start_row, bank0, bank1, thresh0, thresh1, flip0,
+                   leaves, stage_thresholds, norm_mask, bph: int, wh: int,
+                   ww: int, stride: int, stage_bounds: Tuple[int, ...]):
+    """Evaluate one bph-row horizontal band (traced start row: one
+    compiled program serves every band of every scale at this width)."""
+    band = jax.lax.dynamic_slice(
+        image, (start_row, 0), (bph, image.shape[1]))
+    return _evaluate_scale(band, bank0, bank1, thresh0, thresh1, flip0,
+                           leaves, stage_thresholds, norm_mask, wh, ww,
+                           stride, stage_bounds)
 
 
 def group_rectangles(boxes: np.ndarray, min_neighbors: int,
@@ -128,18 +162,22 @@ def group_rectangles(boxes: np.ndarray, min_neighbors: int,
     if not out:
         return np.zeros((0, 4), np.float32)
     out = np.stack(out)
-    # prune boxes contained inside a bigger grouped box
+    # prune a grouped box contained inside a bigger one when the big
+    # cluster clearly dominates OR the small one is weak (< 3 members) —
+    # OpenCV's `n2 > max(3, n1) || n1 < 3` clause, tested against every
+    # other cluster regardless of its own fate (groupRectangles,
+    # cascadedetect.cpp)
     keep = np.ones(len(out), bool)
     for i in range(len(out)):
         for j in range(len(out)):
-            if i == j or not keep[j]:
+            if i == j:
                 continue
             dx, dy = out[j, 2] * 0.2, out[j, 3] * 0.2
             if (out[i, 0] >= out[j, 0] - dx
                     and out[i, 1] >= out[j, 1] - dy
                     and out[i, 0] + out[i, 2] <= out[j, 0] + out[j, 2] + dx
                     and out[i, 1] + out[i, 3] <= out[j, 1] + out[j, 3] + dy
-                    and counts[j] > max(3, counts[i])):
+                    and (counts[j] > max(3, counts[i]) or counts[i] < 3)):
                 keep[i] = False
                 break
     return out[keep]
@@ -177,6 +215,38 @@ class HaarCascadeDetector:
         self._stage_thresholds = jnp.asarray(d.stage_thresholds)
         self._stage_bounds = tuple(int(v) for v in d.stage_bounds)
 
+    # windows evaluated per program call: bounds the (N, T) feature
+    # intermediates to a few hundred MB regardless of image size
+    MAX_WINDOWS_PER_CALL = 1 << 16
+
+    def _masks_banded(self, scaled, sh: int, sw: int,
+                      stride: int) -> np.ndarray:
+        """Pass mask for one pyramid scale, evaluated in horizontal
+        row bands when the window count would blow up device memory
+        (e.g. 4K frames at the first stride-1 scale)."""
+        d = self.data
+        wh, ww = d.window_height, d.window_width
+        bh, bw = scaled.shape
+        args = (self._bank0, self._bank1, self._thresh0, self._thresh1,
+                self._flip0, self._leaves, self._stage_thresholds,
+                self._norm_mask)
+        oh_full = (bh - wh) // stride + 1
+        ow_full = (bw - ww) // stride + 1
+        if oh_full * ow_full <= self.MAX_WINDOWS_PER_CALL:
+            return np.asarray(_evaluate_scale(
+                scaled, *args, wh, ww, stride, self._stage_bounds))
+        boh = max(1, self.MAX_WINDOWS_PER_CALL // ow_full)
+        bph = boh * stride + wh - stride          # pixel rows per band
+        oh = (sh - wh) // stride + 1
+        n_bands = -(-oh // boh)
+        need = (n_bands - 1) * boh * stride + bph
+        if need > bh:
+            scaled = jnp.pad(scaled, ((0, need - bh), (0, 0)))
+        rows = [np.asarray(_evaluate_band(
+            scaled, b * boh * stride, *args, bph, wh, ww, stride,
+            self._stage_bounds)) for b in range(n_bands)]
+        return np.concatenate(rows, axis=0)
+
     def detect(self, image) -> np.ndarray:
         """Detect objects in a grayscale image.
 
@@ -188,6 +258,9 @@ class HaarCascadeDetector:
             raise ValueError("expected a (H, W) grayscale image")
         h, w = img.shape
         d = self.data
+        # one upload per image; every per-scale step below is a jitted
+        # call (eager ops dispatch synchronously on remote backends)
+        img_dev = jnp.asarray(img)
         candidates: List[np.ndarray] = []
         factor = 1.0
         while True:
@@ -202,8 +275,6 @@ class HaarCascadeDetector:
             sh = int(round(h / factor))
             if (win_w >= self.min_size[0] and win_h >= self.min_size[1]
                     and sw >= d.window_width and sh >= d.window_height):
-                scaled = jax.image.resize(jnp.asarray(img), (sh, sw),
-                                          method="linear", antialias=False)
                 # bucket the evaluated shape to multiples of 64 so the
                 # jitted program is reused across scales/images (one
                 # compile per bucket, not per exact size); the mask is
@@ -211,15 +282,9 @@ class HaarCascadeDetector:
                 # the zero padding cannot add detections
                 bh = -(-sh // 64) * 64
                 bw = -(-sw // 64) * 64
-                if (bh, bw) != (sh, sw):
-                    scaled = jnp.pad(scaled, ((0, bh - sh), (0, bw - sw)))
+                scaled = _resize_pad(img_dev, sh, sw, bh, bw)
                 stride = 1 if factor > 2.0 else 2
-                mask = np.asarray(_evaluate_scale(
-                    scaled, self._bank0, self._bank1, self._thresh0,
-                    self._thresh1, self._flip0, self._leaves,
-                    self._stage_thresholds,
-                    self._norm_mask, d.window_height, d.window_width,
-                    stride, self._stage_bounds))
+                mask = self._masks_banded(scaled, sh, sw, stride)
                 oh = (sh - d.window_height) // stride + 1
                 ow = (sw - d.window_width) // stride + 1
                 ys, xs = np.nonzero(mask[:oh, :ow])

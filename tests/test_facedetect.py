@@ -131,3 +131,18 @@ def test_parse_all_stock_frontal_cascades():
             skipped += 1
     assert ok >= 5, (ok, skipped)  # eye, catface, alt, alt2, alt_tree,
     #                                default, profileface parse here
+
+
+def test_banded_evaluation_matches_unbanded(detector):
+    """Row-band chunking (memory bound for large frames) produces the
+    same detections as whole-image evaluation."""
+    from superviseddescent_tpu.models.facedetect import HaarCascadeDetector
+    from superviseddescent_tpu.ops.patches import load_gray_image
+    img = np.asarray(load_gray_image(
+        os.path.join(DATA, "image_0001.png")))
+    ref = detector.detect(img)
+    banded = HaarCascadeDetector(XML, scale_factor=1.2, min_neighbors=2,
+                                 min_size=(50, 50))
+    banded.MAX_WINDOWS_PER_CALL = 2048  # force many bands per scale
+    out = banded.detect(img)
+    np.testing.assert_allclose(out, ref)
