@@ -32,9 +32,9 @@ def main():
     from superviseddescent_tpu.models import DetectionModel
     from superviseddescent_tpu.ops.hog_pallas_flat import (
         hog_descriptor_pallas_flat)
+    from superviseddescent_tpu.models.rcr import level_sub_windows
     from superviseddescent_tpu.ops.patches_pallas import (
-        max_patch_half, max_patch_half_x, min_sub_window, min_sub_window_x,
-        sample_patches_window)
+        max_patch_half, max_patch_half_x, sample_patches_window)
 
     model = DetectionModel.load(os.path.join(REPO, "pretrained",
                                              "rcr22_lfpw5.bin"))
@@ -49,11 +49,11 @@ def main():
 
     mi = 145.0  # bench.py's measured max_ied bound for LFPW
     print(f"batch={batch} roi={roi} max_ied={mi:.0f}", flush=True)
+    # sub-windows via the SAME sizing the serving detector uses
+    sub_w, sub_wx = level_sub_windows(model.hog_params, roi, mi)
     total_lvl = 0.0
     for li, p in enumerate(model.hog_params):
-        w = min(roi, min_sub_window(p.relative_patch_size * mi + 2))
-        wx = min_sub_window_x(p.relative_patch_size * mi + 2)
-        wx = 0 if wx >= roi else wx
+        w, wx = sub_w[li], sub_wx[li]
         phw = jnp.full((batch,), min(
             round(p.relative_patch_size * 100 / 2), max_patch_half(w),
             max_patch_half_x(wx) if wx else 1e9),

@@ -287,7 +287,9 @@ class HogTransform:
                 quantize=self.quantize,
                 sampling=self.sampling,
                 transposed=transposed,
-                out_dtype=(jnp.bfloat16 if transposed
+                # bf16 hand-off is lossless only for quantized (integer)
+                # pixels; unquantized patches stay f32
+                out_dtype=(jnp.bfloat16 if transposed and self.quantize
                            else jnp.float32))                        # (N,L,S,S)
         elif self.patch_method == "dense":
             patches = extract_patches_dense(
@@ -335,13 +337,14 @@ class DetectionModel:
     # -------------------------------------------------------------- #
     def _hog(self, images, image_indices=None, quantize=True,
              sampling=None, patch_backend=None, sub_windows=None,
-             sub_windows_x=None, hog_fast=False):
+             sub_windows_x=None, hog_fast=False, backend="auto"):
         return HogTransform(images, self.hog_params, self.landmark_ids,
                             self.right_eye_ids, self.left_eye_ids,
                             image_indices=image_indices, quantize=quantize,
                             sampling=sampling, patch_backend=patch_backend,
                             sub_windows=sub_windows,
-                            sub_windows_x=sub_windows_x, hog_fast=hog_fast)
+                            sub_windows_x=sub_windows_x, hog_fast=hog_fast,
+                            backend=backend)
 
     def detect(self, image, facebox) -> LandmarkCollection:
         """Detect landmarks in one image from a facebox (x, y, w, h)
@@ -383,7 +386,8 @@ class DetectionModel:
                               fast_sampling: bool = False,
                               sampling: Optional[str] = None,
                               window_sampler: bool = False,
-                              max_ied: Optional[float] = None):
+                              max_ied: Optional[float] = None,
+                              hog_backend: str = "auto"):
         """Return ``f(images (B,H,W), faceboxes (B,4)) -> (B,2L)`` that runs
         each cascade level as its OWN jitted program.
 
@@ -414,19 +418,9 @@ class DetectionModel:
             raise ValueError("window_sampler requires roi")
         sub_windows = sub_windows_x = None
         if window_sampler:
-            from superviseddescent_tpu.ops.patches_pallas import (
-                min_sub_window, min_sub_window_x)
             mi = max_ied if max_ied is not None else roi / 2.13
-            sub_windows = tuple(
-                min(roi, min_sub_window(p.relative_patch_size * mi + 2))
-                for p in self.hog_params)
-            # lane (column) sub-windows: 128-aligned origins cost up to
-            # 127 px of coverage, so WX only shrinks below the ROI for
-            # moderate max_ied — worth it: the sampling dots scale with WX
-            sub_windows_x = tuple(
-                (lambda v: 0 if v >= roi else v)(
-                    min_sub_window_x(p.relative_patch_size * mi + 2))
-                for p in self.hog_params)
+            sub_windows, sub_windows_x = level_sub_windows(
+                self.hog_params, roi, mi)
         idx = jnp.arange(batch, dtype=jnp.int32)
         mean = jnp.asarray(self.mean)
         # fast mode: bf16 multiplies in the regressor GEMV too — the HOG
@@ -444,7 +438,8 @@ class DetectionModel:
                     patch_backend="window" if window_sampler else None,
                     sub_windows=sub_windows,
                     sub_windows_x=sub_windows_x,
-                    hog_fast=(sampling == "fast"))
+                    hog_fast=(sampling == "fast"),
+                    backend=hog_backend)
                 observed = hog(x, _li)
                 norm = self.sdo.normalisation(x)
                 update = jnp.dot(observed, _reg.weights,
@@ -578,6 +573,29 @@ class DetectionModel:
     @classmethod
     def load(cls, filename) -> "DetectionModel":
         return cls.from_cereal(_load_cereal(filename))
+
+
+def level_sub_windows(hog_params: Sequence[HogParams], roi: int,
+                      max_ied: float):
+    """Per-level window-sampler sub-window sides (W rows, WX columns) for
+    a given ROI and IED bound — the single source of the serving/profiling
+    sub-window sizing (see ops/patches_pallas.py for the fit invariants).
+
+    Returns (sub_windows, sub_windows_x); a WX of 0 means full width.
+    Lane (column) sub-windows carry a 128-px alignment margin, so WX only
+    shrinks below the ROI for moderate max_ied — still worth it: the
+    sampling dots scale with WX.
+    """
+    from superviseddescent_tpu.ops.patches_pallas import (
+        min_sub_window, min_sub_window_x)
+    sub = tuple(
+        min(roi, min_sub_window(p.relative_patch_size * max_ied + 2))
+        for p in hog_params)
+    sub_x = tuple(
+        (lambda v: 0 if v >= roi else v)(
+            min_sub_window_x(p.relative_patch_size * max_ied + 2))
+        for p in hog_params)
+    return sub, sub_x
 
 
 def gt_facebox(landmarks: LandmarkCollection, margin: float = 0.2,

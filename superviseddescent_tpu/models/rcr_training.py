@@ -275,22 +275,14 @@ def train_rcr(images, groundtruth_rows, faceboxes,
     if config.patch_backend == "window":
         if config.roi is None:
             raise ValueError("patch_backend='window' requires config.roi")
-        from superviseddescent_tpu.ops.patches_pallas import (
-            min_sub_window, min_sub_window_x)
+        from superviseddescent_tpu.models.rcr import level_sub_windows
         from superviseddescent_tpu.utils.landmarks import resolve_eye_indices as _rei
         ri, li = _rei(model_landmarks, right_eye_ids, left_eye_ids)
         max_ied = float(jnp.max(ied_from_rows(gt, ri, li)))
         # 1.4x margin: intermediate estimates can have a larger IED than
         # the ground truth; beyond it the sampler clamps gracefully
-        sub_windows = tuple(
-            min(config.roi,
-                min_sub_window(p.relative_patch_size * 1.4 * max_ied + 2))
-            for p in config.hog_params)
-        # lane sub-windows (128-aligned): shrink the sampling dots' width
-        sub_windows_x = tuple(
-            (lambda v: 0 if v >= config.roi else v)(
-                min_sub_window_x(p.relative_patch_size * 1.4 * max_ied + 2))
-            for p in config.hog_params)
+        sub_windows, sub_windows_x = level_sub_windows(
+            config.hog_params, config.roi, 1.4 * max_ied)
         images = jnp.asarray(images)
         if images.dtype == jnp.uint8:
             # pre-cast once: the pallas sampler cannot consume uint8, and

@@ -84,7 +84,10 @@ def test_fast_sampling_close(trained):
 
 def test_window_sampler_stepped_close(trained):
     # the bench serving path (Pallas window sampler + transposed fast
-    # HOG), interpreted on CPU. Fast-mode numerics: sub-pixel deltas.
+    # HOG), interpreted on CPU. hog_backend='pallas' forces the Pallas
+    # HOG here (backend='auto' would pick XLA on CPU and skip the
+    # transposed sampler->HOG pairing entirely). Fast-mode numerics:
+    # sub-pixel deltas.
     model, stack, boxes = trained
     import jax.numpy as jnp
     mono = np.asarray(model.detect_batch(
@@ -94,5 +97,6 @@ def test_window_sampler_stepped_close(trained):
         pad_width_to=128)
     win = np.asarray(model.make_stepped_detector(
         len(boxes), roi=512, sampling="fast", window_sampler=True,
-        max_ied=145.0)(stack128.astype(np.uint8), boxes))
+        max_ied=145.0, hog_backend="pallas")(
+            stack128.astype(np.uint8), boxes))
     np.testing.assert_allclose(win, mono, atol=0.5)
