@@ -3,8 +3,10 @@
 Rebuild of /root/reference/examples/landmark_detection.cpp: non-adaptive HOG
 (fixed patch size = num_cells * cell_size, so relative sizing is bypassed by
 fixing the patch to the HOG input size), 3 regressors, MatrixNorm 0.1, on
-the bundled LFPW images. Faceboxes are derived from ground-truth landmarks
-(the reference uses an OpenCV Haar cascade, which is an external component).
+the bundled LFPW images. Like the reference (landmark_detection.cpp:420-427)
+the faceboxes come from Haar cascade face detection — here the built-in
+TPU-native evaluator on the stock OpenCV XML (models/facedetect.py), with a
+ground-truth-derived fallback when the XML is absent.
 
 Run: python examples/landmark_detection.py
 """
@@ -39,8 +41,23 @@ def main():
         images.append(load_gray_image(png))
         rows.append(to_row(lms.filter(LANDMARKS)))
     gt_rows = np.stack(rows)
-    boxes = np.stack([gt_facebox(to_landmark_collection(r, LANDMARKS))
-                      for r in gt_rows]).astype(np.float32)
+    xml = ("/usr/share/opencv4/haarcascades/"
+           "haarcascade_frontalface_alt2.xml")
+    if os.path.exists(xml):
+        # the reference's pipeline: detectMultiScale(1.2, 2, 50x50)
+        # (landmark_detection.cpp:420-427)
+        from superviseddescent_tpu.models import HaarCascadeDetector
+        det = HaarCascadeDetector(xml, scale_factor=1.2, min_neighbors=2,
+                                  min_size=(50, 50))
+        boxes = []
+        for img, r in zip(images, gt_rows):
+            found = det.detect(np.asarray(img))
+            boxes.append(found[0] if len(found) else
+                         gt_facebox(to_landmark_collection(r, LANDMARKS)))
+        boxes = np.stack(boxes).astype(np.float32)
+    else:
+        boxes = np.stack([gt_facebox(to_landmark_collection(r, LANDMARKS))
+                          for r in gt_rows]).astype(np.float32)
     stack, _ = stack_images(images)
 
     # mean from the training shapes mapped into facebox space
