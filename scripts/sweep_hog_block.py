@@ -21,13 +21,13 @@ def main():
     n = 1024 * 22
     for s, cs in [(55, 11), (50, 10), (40, 8), (30, 6)]:
         flat = jnp.asarray(
-            rng.integers(0, 256, (n, s * s)).astype(np.float32))
+            rng.integers(0, 256, (n, s * s)), jnp.bfloat16)
         line = [f"S={s}"]
         for block in (64, 128, 256, 512):
             dt, _ = measure(
                 lambda: hog_descriptor_pallas_flat(
                     flat, s, cs, 4, HogVariant.Uoctti, block=block,
-                    fast=True), reps=20)
+                    fast=True, transposed=True), reps=20)
             line.append(f"b{block}:{dt*1e3:6.2f}ms")
         print("  ".join(line), flush=True)
 
