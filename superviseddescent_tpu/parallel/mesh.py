@@ -22,9 +22,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(num_devices: Optional[int] = None,
               axis_name: str = "data") -> Mesh:
-    """1-D mesh over the first `num_devices` devices (default all)."""
+    """1-D mesh over the first `num_devices` devices (default all).
+
+    Raises if fewer than `num_devices` devices exist — a silently
+    truncated mesh would make any multi-chip validation vacuous.
+    """
     devices = jax.devices()
     if num_devices is not None:
+        if len(devices) < num_devices:
+            raise ValueError(
+                f"make_mesh({num_devices}) but only {len(devices)} "
+                f"device(s) are visible ({devices[0].platform}); for a "
+                f"virtual CPU mesh set "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count="
+                f"{num_devices} JAX_PLATFORMS=cpu before jax initialises")
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), (axis_name,))
 
