@@ -13,6 +13,7 @@ Run: python examples/landmark_detection.py
 
 import glob
 import os
+import tempfile
 
 import numpy as np
 
@@ -87,8 +88,9 @@ def main():
                                                 right_idx, left_idx))
     print(f"IOD-normalised detect error over {len(images)} images: "
           f"{float(err.mean()):.4f}")
-    model.save("landmark_detection_model.bin")
-    print("Saved landmark_detection_model.bin")
+    out = os.path.join(tempfile.gettempdir(), "landmark_detection_model.bin")
+    model.save(out)
+    print(f"Saved {out}")
 
     lc = to_landmark_collection(pred[0], LANDMARKS)
     for name, (x, y) in zip(lc.names, lc.coordinates):

@@ -67,10 +67,17 @@ def _evaluate_scale(image, bank0, bank1, thresh0, thresh1, flip0, leaves,
     # precision: squared pixels need 16 mantissa bits, and the variance
     # is a catastrophic cancellation — bf16 multiplies would corrupt nf
     # (and with it every threshold comparison) on TPU.
+    # Pixels are centred at 128 first: area*Σ(p-c)^2 - (Σ(p-c))^2 is
+    # mathematically identical to the uncentred form for any constant c,
+    # but shrinks both operands of the subtraction by ~4x (and for integer
+    # pixels the centred sums are exact in f32 up to ~20x20 windows),
+    # keeping the cancellation benign on low-variance windows where the
+    # uncentred f32 products can lose all significant bits (ADVICE r1).
     area = jnp.sum(norm_mask)
-    s = jnp.dot(p, norm_mask,
+    pc = p - 128.0
+    s = jnp.dot(pc, norm_mask,
                 precision=jax.lax.Precision.HIGHEST)        # (N,)
-    sq = jnp.dot(p * p, norm_mask,
+    sq = jnp.dot(pc * pc, norm_mask,
                  precision=jax.lax.Precision.HIGHEST)
     var = area * sq - s * s
     nf = jnp.where(var > 0.0, jnp.sqrt(jnp.maximum(var, 0.0)), 1.0)

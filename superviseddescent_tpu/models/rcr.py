@@ -585,12 +585,21 @@ def level_sub_windows(hog_params: Sequence[HogParams], roi: int,
     Lane (column) sub-windows carry a 128-px alignment margin, so WX only
     shrinks below the ROI for moderate max_ied — still worth it: the
     sampling dots scale with WX.
+
+    Lane sub-windows are only enabled when ``roi`` is a multiple of 128:
+    the sampler requires the window width RX to be lane-aligned whenever a
+    column sub-window is active (ops/patches_pallas.py fit invariants), and
+    the square-crop serving path produces RX == roi. A non-128-aligned roi
+    simply falls back to full-width sampling (sub_x all 0) instead of
+    tripping the kernel's alignment check.
     """
     from superviseddescent_tpu.ops.patches_pallas import (
         min_sub_window, min_sub_window_x)
     sub = tuple(
         min(roi, min_sub_window(p.relative_patch_size * max_ied + 2))
         for p in hog_params)
+    if roi % 128 != 0:
+        return sub, (0,) * len(sub)
     sub_x = tuple(
         (lambda v: 0 if v >= roi else v)(
             min_sub_window_x(p.relative_patch_size * max_ied + 2))

@@ -204,9 +204,19 @@ def sample_patches_window(windows: jnp.ndarray,
     s = out_size
     w = sub_window or ry
     wx = sub_window_x or rx
-    assert w <= ry and w % SUBLANE_ALIGN == 0 and ry % SUBLANE_ALIGN == 0
-    assert wx <= rx and (wx == rx or
-                         (wx % LANE_ALIGN == 0 and rx % LANE_ALIGN == 0))
+    if not (w <= ry and w % SUBLANE_ALIGN == 0 and ry % SUBLANE_ALIGN == 0):
+        raise ValueError(
+            f"sample_patches_window: row sub-window W={w} and window "
+            f"height RY={ry} must both be multiples of {SUBLANE_ALIGN} "
+            f"with W <= RY")
+    if not (wx <= rx and (wx == rx or
+                          (wx % LANE_ALIGN == 0 and rx % LANE_ALIGN == 0))):
+        raise ValueError(
+            f"sample_patches_window: column sub-window WX={wx} requires "
+            f"both WX and the window width RX={rx} to be multiples of "
+            f"{LANE_ALIGN} (or WX == RX); size sub-windows via "
+            f"models.rcr.level_sub_windows, which only enables lane "
+            f"sub-windows for 128-aligned ROIs")
     if sampling is None:
         sampling = "fast" if windows.dtype == jnp.bfloat16 else "exact"
     if windows.dtype == jnp.uint8:

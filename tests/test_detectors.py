@@ -100,3 +100,19 @@ def test_window_sampler_stepped_close(trained):
         max_ied=145.0, hog_backend="pallas")(
             stack128.astype(np.uint8), boxes))
     np.testing.assert_allclose(win, mono, atol=0.5)
+
+
+def test_window_sampler_unaligned_roi(trained):
+    # Regression (ADVICE r1): an 8-aligned but non-128-aligned roi on a
+    # non-128-padded stack used to die in the sampler's lane-alignment
+    # assert because level_sub_windows enabled a 128-aligned lane
+    # sub-window against a 400-wide square crop. It must instead fall back
+    # to full-width sampling and produce the same landmarks.
+    model, stack, boxes = trained
+    import jax.numpy as jnp
+    mono = np.asarray(model.detect_batch(
+        stack, boxes, image_indices=jnp.arange(len(boxes))))
+    win = np.asarray(model.make_stepped_detector(
+        len(boxes), roi=400, sampling="fast", window_sampler=True,
+        max_ied=145.0, hog_backend="pallas")(stack, boxes))
+    np.testing.assert_allclose(win, mono, atol=0.5)
