@@ -17,16 +17,34 @@ size S is static — so the adaptive patch size creates no dynamic shapes.
 
 Parity notes:
   * landmark centers are rounded half-to-even (cvRound);
-  * `quantize=True` rounds samples to integers in [0, 255], emulating that
-    the reference resizes the uint8 image *before* converting to float
-    (adaptive_vlhog.hpp:155-157). OpenCV's fixed-point bilinear may differ
-    by at most 1 LSB in rare cases.
+  * `quantize=True` emulates the reference's uint8 resize (the crop is
+    resized *before* converting to float, adaptive_vlhog.hpp:155-157).
+    The gather path reproduces OpenCV's 8U fixed-point pipeline
+    BIT-EXACTLY (11-bit coefficients, truncating >>4 / mulhi>>16 shifts,
+    replicate-border with unclamped fractions — see the quantize branch in
+    extract_patches); the MXU paths (extract_patches_dense, the Pallas
+    window sampler) use float math with 11-bit-quantised tent weights and
+    may differ from OpenCV by 1 LSB on ~12% of pixels (the truncating
+    shifts cannot ride a fused matmul).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+
+# cv::resize's 8U INTER_LINEAR path quantises the bilinear coefficients to
+# 11-bit fixed point: short coeff = cvRound(w * 2048) (INTER_RESIZE_COEF
+# in imgproc/resize.cpp), then rounds (sum + 2^21) >> 22 at the end. The
+# complementary coefficients always sum to exactly 2048 after rounding, so
+# quantising each tent weight independently reproduces the pair.
+_CV_RESIZE_COEF = 2048.0
+
+
+def _quantize_coef(t):
+    """Snap bilinear weights to cv::resize's 11-bit fixed-point grid."""
+    return jnp.round(t * _CV_RESIZE_COEF) * (1.0 / _CV_RESIZE_COEF)
 
 
 def _src_coords(patch_half, out_size: int, dtype):
@@ -73,23 +91,40 @@ def extract_patches(images: jnp.ndarray,
     origin_x = cx - patch_half[:, None]                     # (N, L)
     origin_y = cy - patch_half[:, None]
 
-    # source sampling coordinates per sample: (N, S) each axis
-    src = jax.vmap(lambda ph: _src_coords(ph, out_size, dtype))(patch_half)
+    # source sampling coordinates per sample: (N, S) each axis.
+    # Float path: crop-space clamped coordinates (mathematically equal to
+    # cv::resize's replicate-border handling — replicating pixel p with
+    # fraction f gives p*(1-f) + p*f = p, the same as clamping f to 0).
+    # Quantized path: the fraction must stay UNCLAMPED (cv::resize clamps
+    # only the indices; the split truncation of the fixed-point products
+    # differs from the merged one at borders).
+    if quantize:
+        d = jnp.arange(out_size, dtype=dtype)
+        src = jax.vmap(lambda ph: (d + 0.5) * (2.0 * ph / out_size) - 0.5
+                       )(patch_half)                        # (N, S), raw
+    else:
+        src = jax.vmap(lambda ph: _src_coords(ph, out_size, dtype)
+                       )(patch_half)
     ax = origin_x[:, :, None] + src[:, None, :]             # (N, L, S)
     ay = origin_y[:, :, None] + src[:, None, :]
 
+    # crop-space fractions (small numbers -> full f32 precision, like
+    # OpenCV's float fx)
+    sf = src[:, None, :]                                    # (N, 1, S)
+    s0 = jnp.floor(sf)
+    frac = sf - s0                                          # (N, 1, S)
     x0 = jnp.floor(ax)
     y0 = jnp.floor(ay)
-    wx = (ax - x0)[:, :, None, :]                           # (N, L, 1, S)
-    wy = (ay - y0)[:, :, None, :].transpose(0, 1, 3, 2)     # (N, L, S, 1)
+    wx = jnp.broadcast_to(frac, ax.shape)[:, :, None, :]    # (N, L, 1, S)
+    wy = jnp.broadcast_to(frac, ay.shape)[:, :, None, :
+                                          ].transpose(0, 1, 3, 2)
     x0 = x0.astype(jnp.int32)
     y0 = y0.astype(jnp.int32)
 
     # Separable two-stage sampling (TPU-friendly): a pointwise 2-D gather is
     # catastrophically slow on TPU (element-granular); instead gather whole
     # image ROWS (contiguous W-lane copies), then take_along_axis on the
-    # lane dimension. The bilinear y-mix happens in row space so only one
-    # (N, L, S, W) row tensor is ever materialised.
+    # lane dimension.
     def rows_at(iy):
         """(N, L, S) row indices -> (N, L, S, W) rows, zero outside."""
         inb = ((iy >= 0) & (iy < h))[..., None]
@@ -97,10 +132,7 @@ def extract_patches(images: jnp.ndarray,
         vals = images[image_indices[:, None, None], iyc, :].astype(dtype)
         return jnp.where(inb, vals, jnp.asarray(0.0, dtype))
 
-    # mix the two source rows per output row while still in row space
-    rows = (rows_at(y0) * (1.0 - wy) + rows_at(y0 + 1) * wy)  # (N, L, S, W)
-
-    def cols_at(ix):
+    def cols_at(rows, ix):
         """(N, L, S) col indices -> (N, L, S, S) via lane take, 0 outside."""
         inb = ((ix >= 0) & (ix < w))[:, :, None, :]
         ixc = jnp.clip(ix, 0, w - 1)
@@ -109,11 +141,48 @@ def extract_patches(images: jnp.ndarray,
         vals = jnp.take_along_axis(rows, take, axis=3)
         return jnp.where(inb, vals, jnp.asarray(0.0, dtype))
 
-    out = cols_at(x0) * (1.0 - wx) + cols_at(x0 + 1) * wx
-    if quantize:
-        # uint8 resize output: fixed-point rounding, saturating
-        out = jnp.clip(jnp.floor(out + 0.5), 0.0, 255.0)
-    return out
+    if not quantize:
+        # float bilinear: the y-mix happens in row space so only one
+        # (N, L, S, W) row tensor is ever materialised
+        rows = (rows_at(y0) * (1.0 - wy) + rows_at(y0 + 1) * wy)
+        return cols_at(rows, x0) * (1.0 - wx) + cols_at(rows, x0 + 1) * wx
+
+    # quantize=True: BIT-EXACT emulation of cv::resize's 8U INTER_LINEAR
+    # pipeline (imgproc/resize.cpp, the vectorised path every desktop
+    # OpenCV takes). Verified exact against cv2 across up/down scales
+    # (scripts/parity_e2e.py):
+    #   a1 = cvRound(fx*2048); a0 = 2048-a1  (11-bit coefficients; the
+    #       fraction is NOT clamped at borders — only the source indices
+    #       replicate-clamp into the crop)
+    #   h  = p0*a0 + p1*a1                   (horizontal pass, int)
+    #   t  = ((h>>4)*b) >> 16 per row pair   (vertical mulhi path)
+    #   dst = sat((t0 + t1 + 2) >> 2)
+    # The truncating shifts differ from exact float + final rounding on
+    # ~12% of pixels by 1 greylevel; integer ops reproduce them exactly
+    # (all intermediates fit int32). This is the parity path; the MXU
+    # samplers (extract_patches_dense / the Pallas window kernel) keep
+    # float math with a documented +-1 LSB difference class.
+    ext = (2.0 * patch_half - 1.0)[:, None, None]           # (N, 1, 1)
+    i0 = jnp.clip(s0, 0.0, ext)                             # (N, 1, S) crop
+    i1 = jnp.clip(s0 + 1.0, 0.0, ext)
+    ix0 = (origin_x[:, :, None] + i0).astype(jnp.int32)     # (N, L, S)
+    ix1 = (origin_x[:, :, None] + i1).astype(jnp.int32)
+    iy0 = (origin_y[:, :, None] + i0).astype(jnp.int32)
+    iy1 = (origin_y[:, :, None] + i1).astype(jnp.int32)
+    r0 = rows_at(iy0)
+    r1 = rows_at(iy1)
+    c00 = cols_at(r0, ix0).astype(jnp.int32)
+    c01 = cols_at(r0, ix1).astype(jnp.int32)
+    c10 = cols_at(r1, ix0).astype(jnp.int32)
+    c11 = cols_at(r1, ix1).astype(jnp.int32)
+    ax1 = jnp.round(wx * 2048.0).astype(jnp.int32)          # (N, L, 1, S)
+    ay1 = jnp.round(wy * 2048.0).astype(jnp.int32)          # (N, L, S, 1)
+    ax0 = 2048 - ax1
+    ay0 = 2048 - ay1
+    h0 = c00 * ax0 + c01 * ax1                              # <= 255*2048
+    h1 = c10 * ax0 + c11 * ax1
+    t = (((h0 >> 4) * ay0) >> 16) + (((h1 >> 4) * ay1) >> 16)
+    return jnp.clip((t + 2) >> 2, 0, 255).astype(dtype)
 
 
 def extract_patches_dense(images: jnp.ndarray,
@@ -164,10 +233,15 @@ def extract_patches_dense(images: jnp.ndarray,
                   else dtype)
     rows_iota = jnp.arange(h, dtype=dtype)
     cols_iota = jnp.arange(w, dtype=dtype)
-    ty = jnp.maximum(0.0, 1.0 - jnp.abs(ay[..., None] - rows_iota)
-                     ).astype(tent_dtype)                            # (N,L,S,H)
-    tx = jnp.maximum(0.0, 1.0 - jnp.abs(ax[..., None] - cols_iota)
-                     ).astype(tent_dtype)                            # (N,L,S,W)
+    ty = jnp.maximum(0.0, 1.0 - jnp.abs(ay[..., None] - rows_iota))  # (N,L,S,H)
+    tx = jnp.maximum(0.0, 1.0 - jnp.abs(ax[..., None] - cols_iota))  # (N,L,S,W)
+    if quantize and tent_dtype != jnp.bfloat16:
+        # uint8 resize: 11-bit fixed-point coefficients (exact-parity
+        # paths only; bf16 tents cannot hold the 11-bit grid anyway)
+        ty = _quantize_coef(ty)
+        tx = _quantize_coef(tx)
+    ty = ty.astype(tent_dtype)
+    tx = tx.astype(tent_dtype)
 
     # fast mode feeds the MXU bf16 directly — reading bf16 windows from HBM
     # halves the dominant memory traffic and multiplies identically (the

@@ -133,8 +133,16 @@ def _sampler_kernel(oxy_ref, sp_ref, win_ref, o_ref, *,
 
         cy = by + src - oy.astype(jnp.float32)                  # (S,1)
         cx = bx + src - ox
-        ty = jnp.maximum(0.0, 1.0 - jnp.abs(cy - uy)).astype(mm_dtype)
-        tx = jnp.maximum(0.0, 1.0 - jnp.abs(cx - ux)).astype(mm_dtype)
+        ty = jnp.maximum(0.0, 1.0 - jnp.abs(cy - uy))
+        tx = jnp.maximum(0.0, 1.0 - jnp.abs(cx - ux))
+        if quantize and mm_dtype != jnp.bfloat16:
+            # cv::resize 8U: 11-bit fixed-point coefficients (see
+            # ops/patches.py::_quantize_coef; bf16 fast mode skips — its
+            # 8 mantissa bits cannot hold the grid)
+            ty = jnp.round(ty * 2048.0) * (1.0 / 2048.0)
+            tx = jnp.round(tx * 2048.0) * (1.0 / 2048.0)
+        ty = ty.astype(mm_dtype)
+        tx = tx.astype(mm_dtype)
 
         if transposed:
             # x-contraction first, emitting patch^T: replaces the

@@ -1,0 +1,42 @@
+"""End-to-end C++-vs-JAX parity (VERDICT r1 item 2; BASELINE.json budget).
+
+Builds native/reference_parity.cc (the reference's own hog.c + cereal
+stack, compiled from /root/reference) and runs the reference's actual
+inference loop against DetectionModel.detect on the committed pretrained
+model over the 5 bundled LFPW faces. Asserts:
+
+  * IOD-normalised ERROR parity (the BASELINE.json budget): the error vs
+    ground truth agrees between implementations to 1e-4;
+  * raw landmark deltas stay within 1e-4 IOD as well (stricter; holds
+    because the gather sampler reproduces cv::resize bit-exactly, leaving
+    only GEMV summation-order noise).
+"""
+
+import os
+import shutil
+import subprocess
+
+import pytest
+
+DATA = "/root/reference/examples/data/ibug_lfpw_trainset"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.isdir(DATA) and shutil.which("g++")),
+    reason="reference tree or toolchain absent")
+
+
+def test_cpp_vs_jax_end_to_end():
+    try:
+        subprocess.run(
+            ["sh", os.path.join(REPO, "native", "build_reference_parity.sh")],
+            check=True, capture_output=True, text=True, timeout=300)
+    except subprocess.CalledProcessError as e:
+        pytest.skip(f"harness build failed: {e.stderr[-400:]}")
+
+    import sys
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from parity_e2e import run_parity
+    err_delta_max, lm_max, lm_mean = run_parity(verbose=False)
+    assert err_delta_max <= 1e-4, err_delta_max
+    assert lm_max <= 1e-4, lm_max
