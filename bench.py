@@ -1,13 +1,25 @@
-"""Benchmark: RCR 22-landmark batched detection throughput (faces/sec).
+"""Benchmark: RCR 22-landmark batched detection throughput (faces/sec),
+cascade train seconds, and held-out accuracy.
 
 Loads the committed pretrained RCR-22 model (pretrained/rcr22_lfpw5.bin,
 trained on the bundled 5-image LFPW set with apps/rcr_train.py; pass
 --train to retrain instead) and measures steady-state throughput of the
 jit-compiled 4-level detect cascade (fused Pallas HOG) over a
-device-resident face batch.
+device-resident face batch. Also measures (VERDICT r1 items 3, 4, 10):
+
+  * warm 300-W-scale cascade train seconds (1,024 faces x 11 inits,
+    window backend — the BASELINE.json "cascade train sec" metric);
+    skip with --skip-train;
+  * leave-one-out held-out IOD error over the 5 bundled LFPW images
+    (the reference's rcr-train evaluates a held-out set,
+    rcr-train.cpp:474-538); skip with --skip-heldout;
+  * --mesh N: run the data-parallel path (train_rcr(mesh=...) + sharded
+    batched detect) on an N-device mesh so a multi-chip run needs zero
+    code changes (N=1 on today's single chip validates the code path).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "faces/sec", "vs_baseline": N/10000}
+  {"metric": ..., "value": N, "unit": "faces/sec", "vs_baseline": N/10000,
+   "train_sec_300w": ..., "heldout_iod_err": ..., "trainset_iod_err": ...}
 (North star: >10k faces/sec on a v5e-8; BASELINE.md — the reference itself
 publishes no numbers.)
 """
@@ -73,6 +85,137 @@ def get_model(model_landmarks, stack, gt_rows, boxes, retrain):
     log(f"cascade train: {time.time() - t0:.1f}s (incl. compile)")
     model.save(PRETRAINED)
     return model
+
+
+def load_train_meta(model_landmarks):
+    from superviseddescent_tpu.io import load_mean, read_ied_definition
+    from superviseddescent_tpu.utils.landmarks import (
+        to_landmark_collection, to_row)
+    right_ids, left_ids = read_ied_definition(f"{CFG_DIR}/rcr_eval.cfg")
+    mean68 = load_mean(f"{CFG_DIR}/mean_ibug_lfpw_68.txt")
+    ibug_ids = [str(i) for i in range(1, 69)]
+    mean = to_row(to_landmark_collection(mean68, ibug_ids)
+                  .filter(model_landmarks))
+    return right_ids, left_ids, mean
+
+
+def bench_train_300w(stack, gt_rows, boxes, model_landmarks,
+                     right_ids, left_ids, mean):
+    """Warm 300-W-scale cascade train seconds (BASELINE.json metric #2):
+    1,024 faces (LFPW tiled) x 11 inits = 11,264 samples, window backend
+    (the serving-style training config documented in README)."""
+    import time
+
+    from superviseddescent_tpu.models import RcrTrainConfig, train_rcr
+    from superviseddescent_tpu.utils.timing import force
+
+    n_faces = 1024
+    sel = (np.arange(n_faces) % stack.shape[0]).astype(np.int32)
+    gt = gt_rows[sel]
+    bx = boxes[sel]
+    stack_u8 = np.asarray(stack, np.uint8)      # integer grey: lossless
+    cfg = RcrTrainConfig(seed=0, roi=512, patch_backend="window",
+                         hog_fast=True, sampling="fast",
+                         solver_method="cholesky", feature_chunk_size=2048)
+    t0 = time.perf_counter()
+    model = train_rcr(stack_u8, gt, bx, model_landmarks, right_ids,
+                      left_ids, mean, cfg, image_indices=sel)
+    force(model.sdo.regressors[-1].weights)
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    model = train_rcr(stack_u8, gt, bx, model_landmarks, right_ids,
+                      left_ids, mean, cfg, image_indices=sel)
+    force(model.sdo.regressors[-1].weights)
+    warm = time.perf_counter() - t0
+    log(f"300-W-scale cascade train: {warm:.2f}s warm "
+        f"({cold:.1f}s incl. compile), {n_faces} faces x 11 inits")
+    return warm
+
+
+def bench_heldout(stack, gt_rows, boxes, model_landmarks,
+                  right_ids, left_ids, mean):
+    """Leave-one-out held-out IOD error over the 5 bundled LFPW images
+    (the reference evaluates a held-out test set, rcr-train.cpp:474-538;
+    the train-set number alone is optimistic). One compiled train program
+    serves all folds (same shapes; folds select images via image_indices),
+    and one set of per-level jitted eval programs scores all 5 held-out
+    faces at once with per-fold weight stacks."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from superviseddescent_tpu.models import (
+        InterEyeDistanceNormalisation, RcrTrainConfig, train_rcr)
+    from superviseddescent_tpu.models.rcr import align_mean
+    from superviseddescent_tpu.utils.landmarks import (
+        ied_from_rows, resolve_eye_indices)
+
+    n = stack.shape[0]
+    fold_weights = []   # per fold: list of (F, 2L) per level
+    model0 = None
+    for k in range(n):
+        tr = np.array([i for i in range(n) if i != k], np.int32)
+        mk = train_rcr(stack, gt_rows[tr], boxes[tr], model_landmarks,
+                       right_ids, left_ids, mean,
+                       RcrTrainConfig(seed=0), image_indices=tr)
+        model0 = model0 or mk
+        fold_weights.append([np.asarray(r.weights)
+                             for r in mk.sdo.regressors])
+
+    # stacked per-fold weights: levels x (n, F, 2L)
+    w_stacks = [jnp.asarray(np.stack([fw[li] for fw in fold_weights]))
+                for li in range(len(fold_weights[0]))]
+    hog = model0._hog(stack, image_indices=jnp.arange(n, dtype=jnp.int32))
+    norm = InterEyeDistanceNormalisation(model_landmarks, right_ids,
+                                         left_ids)
+
+    @functools.partial(jax.jit, static_argnames=("level",))
+    def level_fn(x, w, level):
+        feats = hog(x, level)                       # (n, F)
+        upd = jnp.einsum("nf,nfp->np", feats, w,
+                         precision=jax.lax.Precision.HIGHEST)
+        return x - upd / norm(x)
+
+    x = jnp.asarray(align_mean(np.asarray(mean)[None, :],
+                               boxes.astype(np.float32)))
+    for li in range(len(w_stacks)):
+        x = level_fn(x, w_stacks[li], li)
+    pred = np.asarray(x)
+
+    r_idx, l_idx = resolve_eye_indices(model_landmarks, right_ids, left_ids)
+    ied = np.asarray(ied_from_rows(gt_rows.astype(np.float32),
+                                   r_idx, l_idx))
+    L = len(model_landmarks)
+    err = np.hypot(pred[:, :L] - gt_rows[:, :L],
+                   pred[:, L:] - gt_rows[:, L:]).mean(axis=1) / ied
+    log(f"leave-one-out held-out IOD error: mean {err.mean():.4f} "
+        f"per-fold {[f'{e:.4f}' for e in err]}")
+    return float(err.mean())
+
+
+def bench_mesh(n_dev, stack, gt_rows, boxes, model_landmarks,
+               right_ids, left_ids, mean, model):
+    """Data-parallel path on an n-device mesh: train_rcr(mesh=...) +
+    sharded batched detect (VERDICT r1 item 10 — zero-code multi-chip)."""
+    import jax.numpy as jnp
+
+    from superviseddescent_tpu.models import RcrTrainConfig, train_rcr
+    from superviseddescent_tpu.parallel import make_mesh
+    from superviseddescent_tpu.parallel.dist import sharded_detect
+
+    mesh = make_mesh(n_dev)
+    sel = (np.arange(max(n_dev * 2, stack.shape[0]))
+           % stack.shape[0]).astype(np.int32)
+    mm = train_rcr(stack, gt_rows[sel], boxes[sel], model_landmarks,
+                   right_ids, left_ids, mean,
+                   RcrTrainConfig(seed=0), image_indices=sel, mesh=mesh)
+    assert np.isfinite(np.asarray(mm.sdo.regressors[-1].weights)).all()
+    out = sharded_detect(model, jnp.asarray(stack[sel]),
+                         jnp.asarray(boxes[sel]), mesh)
+    assert np.isfinite(np.asarray(out)).all()
+    log(f"mesh={n_dev}: dp train + sharded detect OK "
+        f"({out.shape[0]} faces over {n_dev} device(s))")
 
 
 def main():
@@ -169,12 +312,33 @@ def main():
         f"(fence rtt {fence_rtt*1e3:.1f} ms) "
         f"-> {faces_per_sec:.0f} faces/sec on {len(devices)} device(s)")
 
-    print(json.dumps({
+    # ---------------- train seconds + held-out accuracy ---------------- #
+    right_ids, left_ids, mean = load_train_meta(model_landmarks)
+    train_sec = None
+    if "--skip-train" not in sys.argv:
+        train_sec = bench_train_300w(stack, gt_rows, boxes, model_landmarks,
+                                     right_ids, left_ids, mean)
+    heldout = None
+    if "--skip-heldout" not in sys.argv:
+        heldout = bench_heldout(stack, gt_rows, boxes, model_landmarks,
+                                right_ids, left_ids, mean)
+    if "--mesh" in sys.argv:
+        n_dev = int(sys.argv[sys.argv.index("--mesh") + 1])
+        bench_mesh(n_dev, stack, gt_rows, boxes, model_landmarks,
+                   right_ids, left_ids, mean, model)
+
+    out = {
         "metric": "rcr22_faces_per_sec",
         "value": round(faces_per_sec, 1),
         "unit": "faces/sec",
         "vs_baseline": round(faces_per_sec / 10000.0, 4),
-    }))
+        "trainset_iod_err": round(err, 4),
+    }
+    if train_sec is not None:
+        out["train_sec_300w"] = round(train_sec, 2)
+    if heldout is not None:
+        out["heldout_iod_err"] = round(heldout, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
