@@ -520,6 +520,50 @@ class DetectionModel:
             return epilogue(x, shift)
         return run
 
+    def make_scan_detector(self, batch: int, quantize: bool = True):
+        """Whole-cascade detector whose levels run as ONE ``lax.scan``
+        body over the stacked weights (core/cascade.py::weight_stack) —
+        the XLA graph holds a single level body instead of R unrolled
+        copies, shrinking compile time for the monolithic path.
+
+        Requires every cascade level to share its HOG configuration: the
+        scan body must be shape-uniform, and per-level params change the
+        static patch/cell sizes. The shipped RCR-22 config is
+        heterogeneous (cell_size 11/10/8/6, rcr-train.cpp:447), so it
+        CANNOT scan — use make_stepped_detector there (four small
+        programs). This entry point serves uniform-config models and is
+        the measured basis for the scan-vs-unrolled compile-time study
+        (scripts/bench_scan_compile.py, docs/PERF_NOTES.md).
+        """
+        if len({(p.variant, p.num_cells, p.cell_size, p.num_bins,
+                 p.relative_patch_size) for p in self.hog_params}) != 1:
+            raise ValueError(
+                "make_scan_detector requires uniform per-level HOG params "
+                "(the scan body must be shape-uniform); this model's "
+                "levels differ — use make_stepped_detector")
+        w_stack = self.sdo.weight_stack            # (R, F, 2L)
+        if not isinstance(w_stack, jnp.ndarray):
+            raise ValueError("levels have differing weight shapes")
+        idx = jnp.arange(batch, dtype=jnp.int32)
+        mean = jnp.asarray(self.mean)
+
+        def run(images, faceboxes):
+            hog = self._hog(images, image_indices=idx, quantize=quantize)
+            x0 = align_mean(mean[None, :],
+                            jnp.asarray(faceboxes, jnp.float32))
+
+            def body(x, w):
+                observed = hog(x, 0)               # uniform params: any level
+                norm = self.sdo.normalisation(x)
+                update = jnp.dot(observed, w,
+                                 precision=jax.lax.Precision.HIGHEST,
+                                 preferred_element_type=jnp.float32)
+                return x - update / norm, None
+
+            x, _ = jax.lax.scan(body, x0, w_stack)
+            return x
+        return jax.jit(run)
+
     # -------------------------------------------------------------- #
     # Persistence (cereal byte-compatible + native)
     # -------------------------------------------------------------- #

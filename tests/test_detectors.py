@@ -102,6 +102,32 @@ def test_window_sampler_stepped_close(trained):
     np.testing.assert_allclose(win, mono, atol=0.5)
 
 
+def test_scan_detector_matches_unrolled():
+    # Uniform per-level HOG params: the lax.scan whole-cascade body is
+    # shape-legal and must match the unrolled monolithic application
+    # exactly (same math, same per-level weights, just rolled).
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts"))
+    import jax.numpy as jnp
+    from bench_scan_compile import uniform_model
+    model = uniform_model(num_landmarks=6, levels=3, cell_size=4)
+    rng = np.random.default_rng(0)
+    batch = 3
+    images = rng.integers(0, 256, (batch, 96, 96)).astype(np.float32)
+    boxes = np.tile(np.float32([20, 20, 56, 56]), (batch, 1))
+    scan = np.asarray(model.make_scan_detector(batch)(images, boxes))
+    mono = np.asarray(model.detect_batch(
+        images, boxes, image_indices=jnp.arange(batch)))
+    np.testing.assert_allclose(scan, mono, atol=1e-4)
+
+
+def test_scan_detector_rejects_heterogeneous(trained):
+    model, stack, boxes = trained
+    with pytest.raises(ValueError, match="uniform"):
+        model.make_scan_detector(len(boxes))
+
+
 def test_window_sampler_unaligned_roi(trained):
     # Regression (ADVICE r1): an 8-aligned but non-128-aligned roi on a
     # non-128-padded stack used to die in the sampler's lane-alignment
