@@ -146,3 +146,24 @@ def test_banded_evaluation_matches_unbanded(detector):
     banded.MAX_WINDOWS_PER_CALL = 2048  # force many bands per scale
     out = banded.detect(img)
     np.testing.assert_allclose(out, ref)
+
+
+def test_boxes_match_goldens(detector):
+    """Regression goldens (VERDICT r1 item 7): the detector's boxes on the
+    LFPW images, pinned so stride/rounding/grouping drift is visible.
+    Goldens were generated by this implementation on the CPU backend
+    (scripts note in tests/goldens/); re-generate deliberately only when
+    detector semantics intentionally change."""
+    from superviseddescent_tpu.ops.patches import load_gray_image
+    goldens = np.load(os.path.join(os.path.dirname(__file__), "goldens",
+                                   "haar_boxes.npz"))
+    for png in sorted(glob.glob(os.path.join(DATA, "*.png"))):
+        name = os.path.basename(png)
+        boxes = np.asarray(detector.detect(
+            np.asarray(load_gray_image(png))))
+        want = goldens[name]
+        assert boxes.shape == want.shape, (name, boxes, want)
+        # tolerance: grouping averages f32 box coords; backend summation
+        # differences move them by <0.1 px, a box-count/ordering change
+        # would blow far past this
+        np.testing.assert_allclose(boxes, want, atol=0.5, err_msg=name)
