@@ -26,12 +26,15 @@ on 64-bit little-endian (the reference's target), which frames a stream as
   rows*cols*itemsize bytes  raw matrix data
   ========================  =======================================
 
-Caveat (documented, since boost is not available in this environment to
-cross-check): the archive *library version* value and the exact class
-preamble are boost-release-dependent; writes default to library version 17
+STATUS: EXPERIMENTAL (PARITY.md). boost is absent from this image, so
+this wire format has never met a real boost::serialization stream; the
+archive *library version* value and the exact class preamble are
+boost-release-dependent. Writes default to library version 17
 (boost 1.68+) and can be pinned via ``library_version=``. Reads accept any
 library version and both 1- and 4-byte class-version encodings. Validated
-by round-trip tests (tests/test_io.py) and this documented layout.
+ONLY by round-trip tests (tests/test_io.py) against this documented
+layout — treat as this library's own interchange format until a golden
+archive produced by actual boost is obtained and pinned.
 """
 
 from __future__ import annotations

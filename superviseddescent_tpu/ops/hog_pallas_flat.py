@@ -1,9 +1,11 @@
 """Fused Pallas HOG kernel, flat-pixel layout (the fast serving kernel).
 
-Second-generation kernel. The first kernel (ops/hog_pallas.py) keeps patches
-as (BB, S, S) blocks: its splat matmuls have N = C = 5 output lanes (4% MXU
-lane utilisation) and every elementwise op runs on (S, S) -> (56, 128)
-padded tiles (2.4x waste). This kernel flattens pixels into the lane axis:
+Second-generation kernel; the sole Pallas HOG (the first-generation
+(BB, S, S)-block kernel was retired in round 2 — its splat matmuls had
+N = C = 5 output lanes, 4% MXU lane utilisation, and every elementwise op
+ran on (S, S) -> (56, 128) padded tiles, 2.4x waste; docs/PERF_NOTES.md
+records the measured comparison). This kernel flattens pixels into the
+lane axis:
 
   * patches arrive as (B, S*S) rows — elementwise work pads 3025 -> 3072
     lanes (1.5% waste instead of 137%);
@@ -21,7 +23,7 @@ padded tiles (2.4x waste). This kernel flattens pixels into the lane axis:
     cx-major, which IS the reference's Matlab order idx = d*C*C + cx*C +
     cy — no lane-padded (BB, D, C*C) tiles, no outside relayout.
 
-Semantics identical to ops/hog.py / hog_pallas.py (same goldens).
+Semantics identical to ops/hog.py (same reference-C goldens).
 """
 
 from __future__ import annotations
