@@ -520,6 +520,80 @@ class DetectionModel:
             return epilogue(x, shift)
         return run
 
+    def make_fused_detector(self, batch: int, roi: int,
+                            max_ied: Optional[float] = None):
+        """Whole-cascade FUSED Pallas detector (ops/cascade_pallas.py):
+        one kernel samples, HOG-describes and regresses all levels with
+        the face window resident in VMEM — no per-level window
+        re-streams, no patch HBM round-trips, 1 dispatch instead of 8.
+
+        Serving-fast numerics only (bf16 dots, sector binning, quantised
+        patches) — the same class as make_stepped_detector(
+        sampling='fast', window_sampler=True, hog_fast=True).
+        Requires a square 128-aligned roi (the window crop) sized like
+        the stepped window path; max_ied as there.
+        """
+        from superviseddescent_tpu.ops.cascade_pallas import (
+            SEG, detect_cascade_fused, permute_weights)
+        from superviseddescent_tpu.ops.hog import hog_dimension
+        if roi % 128 != 0:
+            raise ValueError("fused detector requires a 128-aligned roi")
+        mi = max_ied if max_ied is not None else roi / 2.13
+        sub_w, sub_x = level_sub_windows(self.hog_params, roi, mi)
+        p0 = self.hog_params[0]
+        c = p0.num_cells
+        dims = hog_dimension(p0.variant, p0.num_bins)
+        for p in self.hog_params:
+            if (p.num_cells, p.num_bins, p.variant) != (
+                    c, p0.num_bins, p0.variant):
+                raise ValueError(
+                    "fused detector requires uniform cell-count/bins")
+        levels = tuple(
+            (p.patch_size, sub_w[li], sub_x[li] or roi,
+             p.relative_patch_size)
+            for li, p in enumerate(self.hog_params))
+        cell_sizes = tuple(p.cell_size for p in self.hog_params)
+        r_idx, l_idx = resolve_eye_indices(
+            self.landmark_ids, self.right_eye_ids, self.left_eye_ids)
+        weights_perm = tuple(
+            permute_weights(np.asarray(r.weights, np.float32).copy(),
+                            len(self.landmark_ids), c, dims).copy()
+            for r in self.sdo.regressors)
+
+        mean = jnp.asarray(self.mean)
+        n_lm = len(self.landmark_ids)
+
+        @jax.jit
+        def crop_fn(images, boxes):
+            h, w = images.shape[1], images.shape[2]
+            if h < roi or w < roi:
+                raise ValueError(f"roi {roi} exceeds image stack {h}x{w}")
+            cx = boxes[:, 0] + boxes[:, 2] / 2.0
+            cy = boxes[:, 1] + boxes[:, 3] / 2.0
+            oy = jnp.clip(jnp.round(cy - roi / 2.0), 0, h - roi
+                          ).astype(jnp.int32)
+            ox = jnp.clip(jnp.round(cx - roi / 2.0), 0, w - roi
+                          ).astype(jnp.int32)
+            windows = jax.vmap(
+                lambda img, y0, x0: jax.lax.dynamic_slice(
+                    img, (y0, x0), (roi, roi)))(images, oy, ox)
+            return (windows.astype(jnp.bfloat16),
+                    ox.astype(jnp.float32), oy.astype(jnp.float32))
+
+        @jax.jit
+        def run_fused(images, faceboxes):
+            boxes = jnp.asarray(faceboxes, jnp.float32)
+            windows, ox, oy = crop_fn(jnp.asarray(images), boxes)
+            shift = jnp.concatenate([
+                jnp.tile(ox[:, None], (1, n_lm)),
+                jnp.tile(oy[:, None], (1, n_lm))], axis=1)
+            x0 = align_mean(mean[None, :], boxes) - shift
+            out = detect_cascade_fused(
+                windows, x0, weights_perm, levels, cell_sizes,
+                p0.num_bins, dims, tuple(r_idx), tuple(l_idx))
+            return out + shift
+        return run_fused
+
     def make_scan_detector(self, batch: int, quantize: bool = True):
         """Whole-cascade detector whose levels run as ONE ``lax.scan``
         body over the stacked weights (core/cascade.py::weight_stack) —

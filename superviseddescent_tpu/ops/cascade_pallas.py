@@ -1,0 +1,426 @@
+"""Fused whole-cascade detection kernel (fourth-generation serving path).
+
+ONE Pallas kernel runs the ENTIRE 4-level RCR cascade for a face per grid
+step: per level, the L landmark patches are sampled from the VMEM-
+resident face window (transposed tent dots, as ops/patches_pallas.py),
+HOG-described in a lane-packed layout, assembled into the feature row,
+and the regressor GEMV applied — the landmark estimate x never leaves
+registers/VMEM between levels.
+
+Why (measured, docs/PERF_NOTES.md roofline): the per-level pipeline is
+floor-bound, not roofline-bound. Fusing removes, per batch of 1024 faces,
+  * 3 of 4 window HBM re-streams (1.6 GB, ~2 ms),
+  * every patch HBM round-trip between sampler and HOG (~1.5 ms),
+  * 6 of 8 kernel dispatches plus the per-level jitted glue (~2 ms).
+
+Layout design (every op proven individually on v5e Mosaic; sublane roll
+hangs the compiler, so x-gradients use slice+concat):
+  * patches live as (S, L*128) in VMEM: landmark lm's transposed patch
+    occupies lanes [lm*128, lm*128+S) — the sampler's second dot emits
+    an (S, 128) tile directly (its N axis pads to 128 on the MXU
+    anyway), so every store is full-tile lane-aligned;
+  * the cell splat is separable and BLOCK-DIAGONAL: stage A contracts
+    patch-x with a (2O*C, 2O*S) block-diag tent (the 2O masked gradient
+    planes stacked on sublanes), stage B contracts patch-y with a
+    (L*128, 128) per-landmark block-diag tent — two dots replace the
+    flat kernel's one deep dot while keeping the lane-packed layout
+    legal (no (S,S)->(1,S*S) relayout exists in Mosaic);
+  * the clamped 2x2 block-energy sums are separable too: a left (C, C)
+    x-sum and a right per-landmark block-diag (128, 128) y-sum per
+    factor (clamping is per-axis, so border double-counting factors);
+  * the feature row is assembled into a (1, (D*C+1)*128) scratch by
+    D*C aligned row stores; the regressor weights are HOST-PERMUTED to
+    match (permute_weights), so the GEMV is one lanes-contracting dot.
+
+Numerics: fast serving class only (bf16 dots, sector-comparison
+orientation binning, quantised patches) — the same class as
+make_stepped_detector(sampling='fast', window_sampler=True,
+hog_fast=True); landmark deltas vs the exact path are sub-pixel
+(README performance table).
+
+Reference semantics reproduced: model.hpp:132-144 detect loop,
+superviseddescent.hpp:323-344 per-level update, adaptive_vlhog.hpp
+patch/HOG/flatten (via the host weight permutation), hog.c Uoctti
+descriptor (channel math identical to ops/hog_pallas_flat.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from superviseddescent_tpu.ops.hog import hog_num_cells
+from superviseddescent_tpu.ops.patches_pallas import (
+    LANE_ALIGN, SUBLANE_ALIGN, max_patch_half, max_patch_half_x)
+
+SEG = 128          # lane segment per landmark / per feature-row block
+
+
+def _w1d(size: int, cell_size: int) -> np.ndarray:
+    """(S, C) 1-D cell tent with zeroed border pixels (hog.c interior
+    loops, hog.c:616-617)."""
+    c = hog_num_cells(size, cell_size)
+    h = (np.arange(size, dtype=np.float64) + 0.5) / cell_size - 0.5
+    w = np.maximum(0.0, 1.0 - np.abs(h[:, None] - np.arange(c)[None, :]))
+    w[0, :] = 0.0
+    w[-1, :] = 0.0
+    return w.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _splat_consts(levels, cell_sizes, num_orientations: int,
+                  num_landmarks: int):
+    """Stacked per-level separable splat + block-sum constants.
+
+    Returns numpy arrays (lanes COMPACT — patches are stored at stride S,
+    not SEG; unaligned static lane stores are legal and the compact
+    layout keeps both the VPU tiles and the splat-dot lane dims free of
+    2.3x padding waste):
+      wx_all (R, S_max, C)        per-level 1-D x tents,
+      wy_all (R, L*S_max, SEG)    per-landmark block-diag y-tents
+                                  (rows packed at the level's own S),
+      rx_all (2, 8, C)            clamped x block-sum pair (sublane pad),
+      ry_all (2, SEG, SEG)        per-landmark block-diag y block-sums.
+    """
+    o = num_orientations
+    l = num_landmarks
+    r = len(levels)
+    s_max = max(lv[0] for lv in levels)
+    c = hog_num_cells(levels[0][0], cell_sizes[0])
+    del o  # x-tents are shared across orientation planes
+    wx_all = np.zeros((r, s_max, c), np.float32)
+    wy_all = np.zeros((r, l * s_max, SEG), np.float32)
+    for li, (s, _, _, _) in enumerate(levels):
+        w1 = _w1d(s, cell_sizes[li])
+        wx_all[li, 0:s, :] = w1
+        for lm in range(l):
+            wy_all[li, lm * s:lm * s + s, lm * c:(lm + 1) * c] = w1
+
+    rx_all = np.zeros((2, 8, c), np.float32)
+    ry_all = np.zeros((2, SEG, SEG), np.float32)
+    for ai, a in enumerate((-1, 0)):
+        ry = np.zeros((c, c), np.float32)
+        for cx in range(c):
+            for d in (a, a + 1):
+                rx_all[ai, cx, int(np.clip(cx + d, 0, c - 1))] += 1.0
+                ry[int(np.clip(cx + d, 0, c - 1)), cx] += 1.0
+        for lm in range(l):
+            ry_all[ai, lm * c:(lm + 1) * c, lm * c:(lm + 1) * c] = ry
+    return wx_all, wy_all, rx_all, ry_all
+
+
+def permute_weights(weights: np.ndarray, num_landmarks: int,
+                    num_cells: int, dims: int) -> np.ndarray:
+    """Reorder an (F, P) regressor into the kernel's padded feature order.
+
+    Input rows follow the reference's Matlab flatten
+    idx = lm*(D*C*C) + d*C*C + cx*C + cy, bias last
+    (adaptive_vlhog.hpp:166-183). Output (P, (D*C+1)*SEG): column
+    (d*C+cx)*SEG + lm*C + cy holds input row idx; bias at lane
+    D*C*SEG; pad lanes zero.
+    """
+    l, c, d = num_landmarks, num_cells, dims
+    f, p = weights.shape
+    assert f == l * d * c * c + 1, (f, l, d, c)
+    out = np.zeros((p, (d * c + 1) * SEG), weights.dtype)
+    dd, cx, lm, cy = np.meshgrid(np.arange(d), np.arange(c),
+                                 np.arange(l), np.arange(c), indexing="ij")
+    src = (lm * (d * c * c) + dd * c * c + cx * c + cy).ravel()
+    dst = ((dd * c + cx) * SEG + lm * c + cy).ravel()
+    out[:, dst] = weights[src].T
+    out[:, d * c * SEG] = weights[f - 1]
+    return out
+
+
+def _face_features(win_ref, g, x_row, wx_ref, wy_ref, rx_ref, ry_ref,
+                   gscr, pscr, fscr, *, li, s, w, wx, ry_n, rx_n,
+                   num_landmarks, o_count, dims, rel_patch, cell_size,
+                   r_idx, l_idx):
+    """Sample + HOG-describe one face's level, writing the feature row
+    into fscr[g]. x_row: (2L,) f32, WINDOW space. Returns the face's IED
+    (needed to scale the batched GEMV update)."""
+    l = num_landmarks
+    c = hog_num_cells(s, cell_size)
+    lp = l * s          # compact patch lanes: landmark stride = S
+
+    # ---- IED + patch half (scalar extracts from the x vector) ---- #
+    rex = sum(x_row[i] for i in r_idx) / len(r_idx)
+    rey = sum(x_row[i + l] for i in r_idx) / len(r_idx)
+    lex = sum(x_row[i] for i in l_idx) / len(l_idx)
+    ley = sum(x_row[i + l] for i in l_idx) / len(l_idx)
+    ied = jnp.sqrt((rex - lex) ** 2 + (rey - ley) ** 2)
+    phw = jnp.maximum(jnp.floor(rel_patch * ied / 2.0 + 0.5), 1.0)
+    ph_cap = max_patch_half(w)
+    if wx != rx_n:
+        ph_cap = min(ph_cap, max_patch_half_x(wx))
+    phw = jnp.minimum(phw, ph_cap)
+    st = 2.0 * phw / s
+
+    j = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0).astype(jnp.float32)
+    src = jnp.clip((j + 0.5) * st - 0.5, 0.0, 2.0 * phw - 1.0)   # (S,1)
+    src0 = src[0, 0]
+    uy = jax.lax.broadcasted_iota(jnp.int32, (s, w), 1).astype(jnp.float32)
+    ux = jax.lax.broadcasted_iota(jnp.int32, (s, wx), 1).astype(jnp.float32)
+
+    # ---- sample the L patches into the lane-packed scratch ---- #
+    for lm in range(l):
+        cxs = jnp.round(x_row[lm])
+        cys = jnp.round(x_row[lm + l])
+        by = cys - phw
+        bx = cxs - phw
+        oy = jnp.clip(jnp.floor(by + src0), 0.0, float(ry_n - w)
+                      ).astype(jnp.int32)
+        oy = pl.multiple_of((oy // SUBLANE_ALIGN) * SUBLANE_ALIGN,
+                            SUBLANE_ALIGN)
+        if wx == rx_n:
+            sub = win_ref[g, pl.ds(oy, w), :]                   # (W, RX)
+            ox = jnp.float32(0.0)
+        else:
+            oxi = jnp.clip(jnp.floor(bx + src0), 0.0, float(rx_n - wx)
+                           ).astype(jnp.int32)
+            oxi = pl.multiple_of((oxi // LANE_ALIGN) * LANE_ALIGN,
+                                 LANE_ALIGN)
+            sub = win_ref[g, pl.ds(oy, w), pl.ds(oxi, wx)]      # (W, WX)
+            ox = oxi.astype(jnp.float32)
+
+        cyv = by + src - oy.astype(jnp.float32)                 # (S,1)
+        cxv = bx + src - ox
+        ty = jnp.maximum(0.0, 1.0 - jnp.abs(cyv - uy)).astype(jnp.bfloat16)
+        tx = jnp.maximum(0.0, 1.0 - jnp.abs(cxv - ux)).astype(jnp.bfloat16)
+        # transposed order: q = tx . sub^T (S, W); patch^T = q . ty^T
+        q = jax.lax.dot_general(
+            tx, sub, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        patch = jax.lax.dot_general(
+            q.astype(jnp.bfloat16), ty, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                 # (S, S)
+        patch = jnp.clip(jnp.floor(patch + 0.5), 0.0, 255.0)
+        pscr[0:s, lm * s:(lm + 1) * s] = patch.astype(jnp.bfloat16)
+
+    # ---- HOG over all L patches at once: (S, L*S) lane-packed ---- #
+    img = pscr[0:s, 0:lp].astype(jnp.float32)                   # (S, LP)
+    zrow = jnp.zeros((1, lp), jnp.float32)
+    # x-gradient: sublane shifts via slice+concat; border rows are
+    # zero-splat so their values are moot
+    gx = jnp.concatenate([zrow, img[2:s, :] - img[0:s - 2, :], zrow], 0)
+    # y-gradient: lane rolls; segment-crossing wraps land on zero-weight
+    # border pixels (and zero pad lanes), so no masking is needed
+    gy = pltpu.roll(img, lp - 1, 1) - pltpu.roll(img, 1, 1)
+    grad = jnp.sqrt(gx * gx + gy * gy)
+
+    # fast sector classification (ops/hog_pallas_flat.py fast mode)
+    ax = jnp.abs(gx)
+    ay = jnp.abs(gy)
+    px = gx >= 0
+    py = gy >= 0
+    bin_h = jnp.where(px, 0, 4)
+    bin_v = jnp.where(py, 2, 6)
+    bin_d = jnp.where(px == py, jnp.where(px, 1, 5), jnp.where(py, 3, 7))
+    t_lo = 0.41421356237   # tan(pi/8)
+    t_hi = 2.41421356237   # tan(3*pi/8)
+    best_bin = jnp.where(ay < ax * t_lo, bin_h,
+                         jnp.where(ay > ax * t_hi, bin_v, bin_d))
+
+    for o in range(2 * o_count):
+        gscr[o * s:(o + 1) * s, 0:lp] = jnp.where(
+            best_bin == o, grad, 0.0).astype(jnp.bfloat16)
+
+    # separable splat: per-plane x-tent contractions (2O small dots —
+    # one block-diagonal dot here would multiply every plane against
+    # every plane's zero blocks, 8x the flops), then ONE per-landmark
+    # block-diag y contraction
+    w1x = wx_ref[li, 0:s, :].astype(jnp.bfloat16)               # (S, C)
+    planes = [jax.lax.dot_general(
+        w1x, gscr[o * s:(o + 1) * s, 0:lp],
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        for o in range(2 * o_count)]                            # (C, LP) each
+    a_all = jnp.concatenate(planes, axis=0)                     # (2OC, LP)
+    b_all = jax.lax.dot_general(                                # (2OC, SEG)
+        a_all.astype(jnp.bfloat16), wy_ref[li, 0:lp, :].astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    ha = [b_all[k * c:(k + 1) * c, :] for k in range(o_count)]
+    hb = [b_all[(k + o_count) * c:(k + o_count + 1) * c, :]
+          for k in range(o_count)]
+    energy = jnp.zeros((c, SEG), jnp.float32)
+    for k in range(o_count):
+        f_ = ha[k] + hb[k]
+        energy = energy + f_ * f_
+
+    # factor blocks (hog.c:978-981): (x-sum, y-sum) index pairs
+    # f1 = (-1,-1)  f2 = (0,-1)  f3 = (-1,0)  f4 = (0,0)
+    factors = []
+    for (aix, aiy) in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        fs = jax.lax.dot_general(
+            rx_ref[aix, 0:c, :], energy, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        fs = jax.lax.dot_general(
+            fs, ry_ref[aiy, :, :], (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        factors.append(jax.lax.rsqrt(fs + 1e-4))
+
+    # Uoctti channel math (identical to ops/hog_pallas_flat.py)
+    t_acc = [jnp.zeros((c, SEG), jnp.float32) for _ in range(4)]
+    ch_a, ch_b, ch_c = [], [], []
+    for k in range(o_count):
+        ha_s = jnp.zeros((c, SEG), jnp.float32)
+        hb_s = jnp.zeros((c, SEG), jnp.float32)
+        hc_s = jnp.zeros((c, SEG), jnp.float32)
+        for i in range(4):
+            hai = factors[i] * ha[k]
+            hbi = factors[i] * hb[k]
+            hci = jnp.minimum(hai + hbi, 0.2)
+            ha_s = ha_s + jnp.minimum(hai, 0.2)
+            hb_s = hb_s + jnp.minimum(hbi, 0.2)
+            hc_s = hc_s + hci
+            t_acc[i] = t_acc[i] + hci
+        ch_a.append(0.5 * ha_s)
+        ch_b.append(0.5 * hb_s)
+        ch_c.append(0.5 * hc_s)
+    scale_t = float(np.float32(1.0) / np.sqrt(np.float32(18.0)))
+    out_channels = ch_a + ch_b + ch_c + [t * scale_t for t in t_acc]
+    assert len(out_channels) == dims
+
+    # ---- feature row assembly: D*C aligned row stores ---- #
+    for d in range(dims):
+        chan = out_channels[d]
+        for cx in range(c):
+            fscr[g:g + 1, (d * c + cx) * SEG:(d * c + cx + 1) * SEG] = \
+                chan[cx:cx + 1, :]
+    # (the bias segment is written once by the caller)
+    return ied
+
+
+def _cascade_kernel(x0_ref, win_ref, w0, w1, w2, w3,
+                    wx_ref, wy_ref, rx_ref, ry_ref, o_ref,
+                    gscr, pscr, fscr, *,
+                    levels, g_faces, ry_n, rx_n, num_landmarks, o_count,
+                    dims, cell_sizes, r_idx, l_idx):
+    w_refs = [w0, w1, w2, w3][:len(levels)]
+    c = hog_num_cells(levels[0][0], cell_sizes[0])
+    # bias segment: ones, once (every other segment is fully rewritten
+    # per level per face)
+    fscr[:, dims * c * SEG:(dims * c + 1) * SEG] = jnp.ones(
+        (g_faces, SEG), jnp.float32)
+
+    x_rows = [x0_ref[g, 0, :] for g in range(g_faces)]          # (2L,) each
+    for li, (s, w, wx, rel) in enumerate(levels):
+        ieds = []
+        for g in range(g_faces):
+            ieds.append(_face_features(
+                win_ref, g, x_rows[g], wx_ref, wy_ref, rx_ref, ry_ref,
+                gscr, pscr, fscr, li=li, s=s, w=w, wx=wx, ry_n=ry_n,
+                rx_n=rx_n, num_landmarks=num_landmarks, o_count=o_count,
+                dims=dims, rel_patch=rel, cell_size=cell_sizes[li],
+                r_idx=r_idx, l_idx=l_idx))
+        # batched regressor GEMV: M = G faces per step amortises the
+        # MXU's M-tile padding (an M=1 per-face GEMV measured ~10% of
+        # the whole cascade in pure padding waste)
+        upd = jax.lax.dot_general(
+            fscr[:, :].astype(jnp.bfloat16), w_refs[li][:, :],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                 # (G, 2L)
+        # norm is 1/IED (model.hpp:94-98): dividing the update by it
+        # means multiplying by the IED (superviseddescent.hpp:337-341)
+        for g in range(g_faces):
+            x_rows[g] = x_rows[g] - upd[g, :] * ieds[g]
+    for g in range(g_faces):
+        o_ref[g, 0, :] = x_rows[g]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "levels", "cell_sizes", "num_orientations", "dims", "r_idx", "l_idx",
+    "faces_per_step", "interpret"))
+def detect_cascade_fused(windows: jnp.ndarray,
+                         x0: jnp.ndarray,
+                         weights_perm,
+                         levels,
+                         cell_sizes,
+                         num_orientations: int,
+                         dims: int,
+                         r_idx,
+                         l_idx,
+                         faces_per_step: int = 8,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Run the full cascade over per-face windows in one kernel.
+
+    windows: (N, RY, RX) bf16 (uint8/f32 cast here) face windows.
+    x0: (N, 2L) f32 initial landmark rows in WINDOW coordinates.
+    weights_perm: tuple of per-level (2L, (D*C+1)*SEG) arrays
+      (permute_weights output), cast to bf16 here.
+    levels: tuple of (S, W, WX, relative_patch_size) per level; W/WX are
+      the sampler sub-window sides (WX == RX means full width).
+    r_idx/l_idx: eye-landmark index tuples for the IED.
+    faces_per_step: G faces per grid step — batches each level's
+      regressor GEMV to M=G (an M=1 GEMV wastes ~99% of its MXU tile).
+    Returns (N, 2L) f32 final rows (window coordinates).
+    """
+    interpret = interpret or jax.default_backend() == "cpu"
+    n, ry_n, rx_n = windows.shape
+    l2 = x0.shape[1]
+    l = l2 // 2
+    g = min(faces_per_step, n)
+    if windows.dtype != jnp.bfloat16:
+        windows = windows.astype(jnp.bfloat16)
+    n_pad = -(-n // g) * g
+    if n_pad != n:
+        windows = jnp.concatenate(
+            [windows, jnp.tile(windows[:1], (n_pad - n, 1, 1))])
+        x0 = jnp.concatenate([x0, jnp.tile(x0[:1], (n_pad - n, 1))])
+
+    s_max = max(lv[0] for lv in levels)
+    lp_max = l * s_max
+    c = hog_num_cells(levels[0][0], cell_sizes[0])
+    kdim = (dims * c + 1) * SEG
+    kernel = functools.partial(
+        _cascade_kernel, levels=tuple(levels), g_faces=g, ry_n=ry_n,
+        rx_n=rx_n, num_landmarks=l, o_count=num_orientations, dims=dims,
+        cell_sizes=tuple(cell_sizes), r_idx=tuple(r_idx),
+        l_idx=tuple(l_idx))
+
+    wx_all, wy_all, rx_all, ry_all = _splat_consts(
+        tuple(levels), tuple(cell_sizes), num_orientations, l)
+    w_ops = [jnp.asarray(w, jnp.bfloat16) for w in weights_perm]
+    w_ops += [jnp.zeros((l2, kdim), jnp.bfloat16)] * (4 - len(w_ops))
+
+    const_spec = lambda shape: pl.BlockSpec(        # noqa: E731
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_pad // g,),
+        in_specs=[
+            # singleton middle axis: the last two block dims must be
+            # full-array or (8, 128)-divisible on TPU
+            pl.BlockSpec((g, 1, l2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, ry_n, rx_n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [const_spec((l2, kdim))] * 4 + [
+            const_spec(wx_all.shape),
+            const_spec(wy_all.shape),
+            const_spec(rx_all.shape),
+            const_spec(ry_all.shape),
+        ],
+        out_specs=pl.BlockSpec((g, 1, l2), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 1, l2), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2 * num_orientations * s_max, lp_max),
+                       jnp.bfloat16),
+            pltpu.VMEM((s_max, lp_max), jnp.bfloat16),
+            pltpu.VMEM((g, kdim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x0.astype(jnp.float32)[:, None, :], windows, *w_ops,
+      jnp.asarray(wx_all), jnp.asarray(wy_all),
+      jnp.asarray(rx_all), jnp.asarray(ry_all))
+    return out[:n, 0, :]

@@ -102,6 +102,23 @@ def test_window_sampler_stepped_close(trained):
     np.testing.assert_allclose(win, mono, atol=0.5)
 
 
+def test_fused_cascade_close(trained):
+    # the whole-cascade fused Pallas kernel (ops/cascade_pallas.py),
+    # interpreted on CPU: serving-fast numerics, sub-pixel deltas vs the
+    # exact monolithic path
+    model, stack, boxes = trained
+    import jax.numpy as jnp
+    mono = np.asarray(model.detect_batch(
+        stack, boxes, image_indices=jnp.arange(len(boxes))))
+    stack128, _ = stack_images(
+        [np.asarray(stack[i]) for i in range(stack.shape[0])],
+        pad_width_to=128)
+    fused = np.asarray(model.make_fused_detector(
+        len(boxes), roi=512, max_ied=145.0)(
+            stack128.astype(np.uint8), boxes))
+    np.testing.assert_allclose(fused, mono, atol=0.75)
+
+
 def test_scan_detector_matches_unrolled():
     # Uniform per-level HOG params: the lax.scan whole-cascade body is
     # shape-legal and must match the unrolled monolithic application
