@@ -284,11 +284,20 @@ def main():
                                                sampling="exact",
                                                window_sampler=True,
                                                max_ied=max_ied)
+    # the fused whole-cascade kernel (ops/cascade_pallas.py) — the
+    # fastest serving path (window streams once, no patch HBM round
+    # trips, one dispatch)
+    detect_fused = model.make_fused_detector(batch, roi=512,
+                                             max_ied=max_ied)
 
     t0 = time.time()
     out = detect(bench_images, bench_boxes)
     out.block_until_ready()
-    log(f"detect compile+first: {time.time()-t0:.1f}s")
+    log(f"stepped detect compile+first: {time.time()-t0:.1f}s")
+    t0 = time.time()
+    out_fused = detect_fused(bench_images, bench_boxes)
+    out_fused.block_until_ready()
+    log(f"fused detect compile+first: {time.time()-t0:.1f}s")
 
     # accuracy: every face in the bench batch is one of the 5 LFPW faces
     right_idx, left_idx = resolve_eye_indices(model_landmarks,
@@ -305,11 +314,20 @@ def main():
     # timing: block_until_ready does NOT wait for execution over the axon
     # tunnel (it returns after dispatch) — utils/timing.py fences with a
     # data-dependent scalar readback and subtracts the single readback RTT
+    err_fused = float(np.mean(np.asarray(normalised_landmark_errors(
+        np.asarray(out_fused), gt_rows[sel], right_idx, left_idx))))
+    log(f"IOD-normalised detect error, fused kernel: {err_fused:.4f}")
+
     from superviseddescent_tpu.utils.timing import measure
-    dt, fence_rtt = measure(detect, bench_images, bench_boxes, reps=30)
+    dt_st, fence_rtt = measure(detect, bench_images, bench_boxes, reps=30)
+    log(f"stepped detect: {dt_st*1e3:.2f} ms / {batch} faces "
+        f"(fence rtt {fence_rtt*1e3:.1f} ms) -> {batch/dt_st:.0f} faces/sec")
+    dt_fu, _ = measure(detect_fused, bench_images, bench_boxes, reps=30)
+    log(f"fused detect:   {dt_fu*1e3:.2f} ms / {batch} faces "
+        f"-> {batch/dt_fu:.0f} faces/sec")
+    dt = min(dt_st, dt_fu)
     faces_per_sec = batch / dt
-    log(f"batched detect: {dt*1e3:.2f} ms / {batch} faces "
-        f"(fence rtt {fence_rtt*1e3:.1f} ms) "
+    log(f"best path: {'fused' if dt_fu <= dt_st else 'stepped'} "
         f"-> {faces_per_sec:.0f} faces/sec on {len(devices)} device(s)")
 
     # ---------------- train seconds + held-out accuracy ---------------- #
