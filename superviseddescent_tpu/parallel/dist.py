@@ -81,3 +81,34 @@ def sharded_detect(model, images, faceboxes, mesh: Mesh,
             quantize=quantize)
 
     return run(images, faceboxes)
+
+
+def sharded_detect_fused(model, images, faceboxes, mesh: Mesh,
+                         roi: int, axis_name: str = "data",
+                         max_ied=None):
+    """The fused whole-cascade kernel (ops/cascade_pallas.py), data-
+    parallel over faces via shard_map: each device runs the kernel on its
+    face shard — zero cross-device communication (the cascade is
+    embarrassingly parallel over faces), so throughput scales linearly
+    with the mesh. Pallas kernels are opaque to GSPMD, hence the explicit
+    shard_map rather than sharding annotations.
+
+    images: (B, H, W) per-face stack; B must divide the mesh size.
+    """
+    n_dev = mesh.devices.size
+    batch = images.shape[0]
+    if batch % n_dev:
+        raise ValueError(f"batch {batch} must divide the mesh ({n_dev})")
+    spec3 = NamedSharding(mesh, P(axis_name, None, None))
+    spec2 = NamedSharding(mesh, P(axis_name, None))
+    images = jax.device_put(jnp.asarray(images), spec3)
+    faceboxes = jax.device_put(jnp.asarray(faceboxes, jnp.float32), spec2)
+    detect = model.make_fused_detector(batch // n_dev, roi=roi,
+                                       max_ied=max_ied)
+    run = jax.shard_map(
+        detect, mesh=mesh,
+        in_specs=(P(axis_name, None, None), P(axis_name, None)),
+        out_specs=P(axis_name, None),
+        # pallas_call does not annotate varying-across-mesh metadata
+        check_vma=False)
+    return jax.jit(run)(images, faceboxes)

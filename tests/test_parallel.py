@@ -114,3 +114,50 @@ def test_train_rcr_mesh_matches_single_device():
     p_s = np.asarray(single.detect_batch(stack, boxes))
     p_d = np.asarray(dist.detect_batch(stack, boxes))
     np.testing.assert_allclose(p_d, p_s, atol=0.05)  # px
+
+
+def test_sharded_fused_detect_matches():
+    """The fused whole-cascade kernel under shard_map (8-device mesh)
+    must match the single-device fused result exactly (pure data
+    parallelism, no collectives)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    if not os.path.isdir("/root/reference/examples/data/ibug_lfpw_trainset"):
+        pytest.skip("reference data absent")
+    from test_rcr_pipeline import (
+        load_small_dataset, SMALL_HOG, SMALL_LANDMARKS, RIGHT_EYE, LEFT_EYE)
+    from superviseddescent_tpu.models import (
+        RcrTrainConfig, gt_facebox, train_rcr)
+    from superviseddescent_tpu.parallel.dist import sharded_detect_fused
+    from superviseddescent_tpu.utils.landmarks import to_landmark_collection
+    from superviseddescent_tpu.ops.patches import stack_images
+
+    stack, gt_rows = load_small_dataset()
+    boxes = np.stack([
+        gt_facebox(to_landmark_collection(r, SMALL_LANDMARKS))
+        for r in gt_rows]).astype(np.float32)
+    l = len(SMALL_LANDMARKS)
+    mean = np.mean([np.concatenate([(r[:l] - b[0]) / b[2] - 0.5,
+                                    (r[l:] - b[1]) / b[3] - 0.5])
+                    for r, b in zip(gt_rows, boxes)], axis=0).astype(np.float32)
+    cfg = RcrTrainConfig(
+        hog_params=SMALL_HOG, num_perturbations=2, seed=3,
+        regularisation=Regulariser(RegularisationType.MatrixNorm, 0.1,
+                                   regularise_last_row=False))
+    model = train_rcr(stack, gt_rows, boxes, SMALL_LANDMARKS,
+                      RIGHT_EYE, LEFT_EYE, mean, cfg)
+
+    # 8 faces over 8 devices (tile the 5 LFPW faces)
+    sel = np.arange(8) % stack.shape[0]
+    stack128, _ = stack_images(
+        [np.asarray(stack[i]) for i in sel], pad_width_to=128)
+    boxes8 = boxes[sel]
+
+    single = np.asarray(model.make_fused_detector(8, roi=512,
+                                                  max_ied=145.0)(
+        stack128, boxes8))
+    mesh = make_mesh()
+    sharded = np.asarray(sharded_detect_fused(
+        model, stack128, boxes8, mesh, roi=512, max_ied=145.0))
+    np.testing.assert_allclose(sharded, single, atol=1e-4)
