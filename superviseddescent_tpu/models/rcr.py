@@ -171,13 +171,28 @@ class HogTransform:
             raise ValueError(f"unknown HOG backend: {backend!r}")
         self.backend = backend
         # patch sampling: dense tent matmuls on the MXU (TPU) vs pointwise
-        # gather (CPU/small problems); both are numerically identical
+        # gather (CPU/small problems); both are numerically identical.
+        # 'fused' = the whole sample+HOG level in one Pallas kernel
+        # (ops/cascade_pallas.py::extract_features_fused) — the fastest
+        # training extraction; NOTE its features come back in the
+        # kernel's compact column order (bias last), see
+        # compact_to_standard_rows for mapping solved weights back.
         if patch_backend in (None, "auto"):
             patch_backend = "dense" if on_tpu else "gather"
-        if patch_backend not in ("dense", "gather", "window"):
+        if patch_backend not in ("dense", "gather", "window", "fused"):
             raise ValueError(f"unknown patch backend: {patch_backend!r}")
-        if patch_backend == "window" and sub_windows is None:
+        if patch_backend in ("window", "fused") and sub_windows is None:
             sub_windows = tuple(0 for _ in self.hog_params)
+        if patch_backend == "fused":
+            p0 = self.hog_params[0]
+            from superviseddescent_tpu.ops.hog import HogVariant
+            if any((p.num_cells, p.num_bins, p.variant) !=
+                   (p0.num_cells, p0.num_bins, p0.variant)
+                   for p in self.hog_params) or p0.variant != HogVariant.Uoctti:
+                raise ValueError("fused backend requires uniform Uoctti "
+                                 "cell-count/bins across levels")
+            if not quantize:
+                raise ValueError("fused backend always quantizes patches")
         self.patch_method = patch_backend
         self.sub_windows = None if sub_windows is None else tuple(sub_windows)
         self.sub_windows_x = (None if sub_windows_x is None
@@ -216,7 +231,10 @@ class HogTransform:
 
     def __call__(self, x: jnp.ndarray, level: int) -> jnp.ndarray:
         n = x.shape[0]
-        if self.chunk_size is not None and n > self.chunk_size:
+        if (self.chunk_size is not None and n > self.chunk_size
+                and self.patch_method != "fused"):
+            # the fused kernel streams per-face blocks itself — no
+            # lax.map chunking needed (or wanted)
             return self._call_chunked(x, level)
         return self._call_block(x, level, self._indices_for(n))
 
@@ -259,6 +277,25 @@ class HogTransform:
         transposed = (self.patch_method == "window"
                       and self.backend == "pallas"
                       and self.sampling == "fast" and self.hog_fast)
+
+        if self.patch_method == "fused":
+            from superviseddescent_tpu.ops.cascade_pallas import (
+                compact_feature_columns, extract_features_fused)
+            from superviseddescent_tpu.ops.hog import hog_dimension
+            if self.images.shape[0] == n:
+                windows = self.images
+            else:
+                windows = self.images[image_indices]
+            w = self.sub_windows[level] or windows.shape[1]
+            wx = (self.sub_windows_x[level] if self.sub_windows_x
+                  else 0) or windows.shape[2]
+            dims = hog_dimension(p.variant, p.num_bins)
+            feats_k = extract_features_fused(
+                windows, x, (p.patch_size, w, wx, p.relative_patch_size),
+                p.cell_size, p.num_bins, dims,
+                tuple(int(i) for i in self._right_idx),
+                tuple(int(i) for i in self._left_idx))
+            return compact_feature_columns(feats_k, l, p.num_cells, dims)
 
         if self.patch_method == "window":
             from superviseddescent_tpu.ops.patches_pallas import (

@@ -272,9 +272,10 @@ def train_rcr(images, groundtruth_rows, faceboxes,
                                    method=regressor.method)
 
     sub_windows = sub_windows_x = None
-    if config.patch_backend == "window":
+    if config.patch_backend in ("window", "fused"):
         if config.roi is None:
-            raise ValueError("patch_backend='window' requires config.roi")
+            raise ValueError(
+                f"patch_backend={config.patch_backend!r} requires config.roi")
         from superviseddescent_tpu.models.rcr import level_sub_windows
         from superviseddescent_tpu.utils.landmarks import resolve_eye_indices as _rei
         ri, li = _rei(model_landmarks, right_eye_ids, left_eye_ids)
@@ -355,6 +356,28 @@ def train_rcr(images, groundtruth_rows, faceboxes,
 
     sdo.train(x_gt, x0, None, hog, on_training_epoch_callback=epoch_cb,
               start_level=start_level, learn_fn=learn_fn)
+
+    if config.patch_backend == "fused":
+        # the fused extractor emits features in the kernel's compact
+        # column order (bias last); the solves were run in that order, so
+        # map each level's weight rows back to the reference's Matlab
+        # order before storing them in the model. (Mid-train checkpoints
+        # of a fused run hold kernel-order weights; resume with the same
+        # config.)
+        from superviseddescent_tpu.ops.cascade_pallas import (
+            compact_to_standard_rows)
+        from superviseddescent_tpu.ops.hog import hog_dimension
+        p0 = config.hog_params[0]
+        std_rows = compact_to_standard_rows(
+            len(model_landmarks), p0.num_cells,
+            hog_dimension(p0.variant, p0.num_bins))
+        for li, reg in enumerate(sdo.regressors):
+            wk = np.asarray(reg.weights)
+            w_std = np.empty_like(wk)
+            w_std[std_rows] = wk
+            sdo.regressors[li] = LinearRegressor(
+                weights=jnp.asarray(w_std),
+                regulariser=reg.regulariser, method=reg.method)
 
     return DetectionModel(sdo, mean, list(model_landmarks),
                           tuple(config.hog_params),

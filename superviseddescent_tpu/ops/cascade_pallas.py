@@ -335,6 +335,138 @@ def _cascade_kernel(x0_ref, win_ref, w0, w1, w2, w3,
         o_ref[g, 0, :] = x_rows[g]
 
 
+def _features_kernel(x0_ref, win_ref, wx_ref, wy_ref, rx_ref, ry_ref,
+                     o_ref, gscr, pscr, *,
+                     level, g_faces, ry_n, rx_n, num_landmarks, o_count,
+                     dims, cell_size, r_idx, l_idx):
+    """One level's fused sample+HOG feature extraction for G faces per
+    grid step; feature rows land directly in the output block (which
+    plays the fscr role of _face_features)."""
+    s, w, wx, rel = level
+    c = hog_num_cells(s, cell_size)
+    o_ref[:, dims * c * SEG:(dims * c + 1) * SEG] = jnp.ones(
+        (g_faces, SEG), jnp.float32)
+    for g in range(g_faces):
+        _face_features(
+            win_ref, g, x0_ref[g, 0, :], wx_ref, wy_ref, rx_ref, ry_ref,
+            gscr, pscr, o_ref, li=0, s=s, w=w, wx=wx, ry_n=ry_n,
+            rx_n=rx_n, num_landmarks=num_landmarks, o_count=o_count,
+            dims=dims, rel_patch=rel, cell_size=cell_size,
+            r_idx=r_idx, l_idx=l_idx)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "level", "cell_size", "num_orientations", "dims", "r_idx", "l_idx",
+    "faces_per_step", "interpret"))
+def extract_features_fused(windows: jnp.ndarray,
+                           x: jnp.ndarray,
+                           level,
+                           cell_size: int,
+                           num_orientations: int,
+                           dims: int,
+                           r_idx,
+                           l_idx,
+                           faces_per_step: int = 8,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Fused sample+HOG feature extraction for ONE cascade level (the
+    training hot loop): per-face windows in, (N, (D*C+1)*SEG) padded
+    feature rows out, in the kernel's COLUMN ORDER (compact with
+    compact_feature_columns; map weights back with
+    compact_to_standard_rows). ~an order of magnitude faster than the
+    separate sampler + HOG kernels at training batch sizes — no patch
+    HBM round-trip, no per-chunk glue.
+
+    windows: (N, RY, RX) bf16 per-sample face windows (uint8/f32 cast).
+    x: (N, 2L) f32 current landmark rows in WINDOW coordinates.
+    level: (S, W, WX, relative_patch_size); WX == RX means full width.
+    """
+    interpret = interpret or jax.default_backend() == "cpu"
+    n, ry_n, rx_n = windows.shape
+    l2 = x.shape[1]
+    l = l2 // 2
+    g = min(faces_per_step, n)
+    if windows.dtype != jnp.bfloat16:
+        windows = windows.astype(jnp.bfloat16)
+    n_pad = -(-n // g) * g
+    if n_pad != n:
+        windows = jnp.concatenate(
+            [windows, jnp.tile(windows[:1], (n_pad - n, 1, 1))])
+        x = jnp.concatenate([x, jnp.tile(x[:1], (n_pad - n, 1))])
+
+    s = level[0]
+    lp = l * s
+    c = hog_num_cells(s, cell_size)
+    kdim = (dims * c + 1) * SEG
+    wx_all, wy_all, rx_all, ry_all = _splat_consts(
+        (tuple(level),), (cell_size,), num_orientations, l)
+    kernel = functools.partial(
+        _features_kernel, level=tuple(level), g_faces=g, ry_n=ry_n,
+        rx_n=rx_n, num_landmarks=l, o_count=num_orientations, dims=dims,
+        cell_size=cell_size, r_idx=tuple(r_idx), l_idx=tuple(l_idx))
+
+    const_spec = lambda shape: pl.BlockSpec(        # noqa: E731
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_pad // g,),
+        in_specs=[
+            pl.BlockSpec((g, 1, l2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, ry_n, rx_n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const_spec(wx_all.shape),
+            const_spec(wy_all.shape),
+            const_spec(rx_all.shape),
+            const_spec(ry_all.shape),
+        ],
+        out_specs=pl.BlockSpec((g, kdim), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, kdim), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2 * num_orientations * s, lp), jnp.bfloat16),
+            pltpu.VMEM((s, lp), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x.astype(jnp.float32)[:, None, :], windows,
+      jnp.asarray(wx_all), jnp.asarray(wy_all),
+      jnp.asarray(rx_all), jnp.asarray(ry_all))
+    return out[:n]
+
+
+def compact_feature_columns(feats_k: jnp.ndarray, num_landmarks: int,
+                            num_cells: int, dims: int) -> jnp.ndarray:
+    """(N, (D*C+1)*SEG) padded kernel rows -> (N, F) compact features.
+
+    Column order stays the KERNEL order (segment-major: (d, cx) outer,
+    (lm, cy) inner), bias LAST — a pure static slice+concat, no gather.
+    The regularise_last_row bias exemption applies unchanged (bias is
+    still the final column), and MatrixNorm's ||AtA||_F is permutation-
+    invariant, so solves run directly on these features; map the solved
+    weights back to reference order with compact_to_standard_rows.
+    """
+    l, c, d = num_landmarks, num_cells, dims
+    segs = [feats_k[:, i * SEG:i * SEG + l * c] for i in range(d * c)]
+    bias = feats_k[:, d * c * SEG:d * c * SEG + 1]
+    return jnp.concatenate(segs + [bias], axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def compact_to_standard_rows(num_landmarks: int, num_cells: int,
+                             dims: int) -> np.ndarray:
+    """(F,) map: std_rows[k] = reference-order row of compact column k.
+
+    Use as W_std[std_rows] = W_compact to convert weights solved on
+    compact_feature_columns output into the reference's Matlab order
+    (adaptive_vlhog.hpp:166-183)."""
+    l, c, d = num_landmarks, num_cells, dims
+    dd, cx, lm, cy = np.meshgrid(np.arange(d), np.arange(c),
+                                 np.arange(l), np.arange(c), indexing="ij")
+    std = (lm * (d * c * c) + dd * c * c + cx * c + cy).ravel()
+    return np.concatenate([std, [l * d * c * c]]).astype(np.int64)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "levels", "cell_sizes", "num_orientations", "dims", "r_idx", "l_idx",
     "faces_per_step", "interpret"))

@@ -159,3 +159,38 @@ def test_window_sampler_unaligned_roi(trained):
         len(boxes), roi=400, sampling="fast", window_sampler=True,
         max_ied=145.0, hog_backend="pallas")(stack, boxes))
     np.testing.assert_allclose(win, mono, atol=0.5)
+
+
+def test_fused_training_backend(trained):
+    # patch_backend='fused' trains through the one-kernel extractor
+    # (kernel-order features, weights mapped back to reference order);
+    # must reproduce the window backend's model to fast-mode noise
+    model_w, stack, boxes = trained
+    from superviseddescent_tpu.io import read_pts_landmarks
+    pngs = sorted(glob.glob(os.path.join(DATA, "*.png")))
+    gt_rows = np.stack([
+        to_row(read_pts_landmarks(p.replace(".png", ".pts"))
+               .filter(LANDMARKS)) for p in pngs])
+    l = len(LANDMARKS)
+    mean = np.mean([np.concatenate([(r[:l] - b[0]) / b[2] - 0.5,
+                                    (r[l:] - b[1]) / b[3] - 0.5])
+                    for r, b in zip(gt_rows, boxes)],
+                   axis=0).astype(np.float32)
+    cfg = RcrTrainConfig(
+        hog_params=HOG, num_perturbations=2, seed=9,
+        regularisation=Regulariser(RegularisationType.MatrixNorm, 0.1,
+                                   False),
+        roi=512, patch_backend="fused", sampling="fast")
+    m_f = train_rcr(stack, gt_rows, boxes, LANDMARKS, RIGHT_EYE, LEFT_EYE,
+                    mean, cfg)
+    for rf, rw in zip(m_f.sdo.regressors, model_w.sdo.regressors):
+        # trained fixture used exact dense sampling; fused is the fast
+        # class -> small weight deltas, same structure
+        dw = np.abs(np.asarray(rf.weights) - np.asarray(rw.weights))
+        assert dw.mean() < 5e-3, dw.mean()
+    import jax.numpy as jnp
+    pred = np.asarray(m_f.detect_batch(
+        stack, boxes, image_indices=jnp.arange(len(boxes))))
+    ref = np.asarray(model_w.detect_batch(
+        stack, boxes, image_indices=jnp.arange(len(boxes))))
+    np.testing.assert_allclose(pred, ref, atol=2.0)  # px, fast-vs-exact train
