@@ -140,10 +140,14 @@ def permute_weights(weights: np.ndarray, num_landmarks: int,
 def _face_features(win_ref, g, x_row, wx_ref, wy_ref, rx_ref, ry_ref,
                    gscr, pscr, fscr, *, li, s, w, wx, ry_n, rx_n,
                    num_landmarks, o_count, dims, rel_patch, cell_size,
-                   r_idx, l_idx):
+                   r_idx, l_idx, probe=None):
     """Sample + HOG-describe one face's level, writing the feature row
     into fscr[g]. x_row: (2L,) f32, WINDOW space. Returns the face's IED
-    (needed to scale the batched GEMV update)."""
+    (needed to scale the batched GEMV update).
+
+    probe: measurement hook (scripts/probe_fused.py) — 'sample' stops
+    after the patch-sampling loop (stage-ablation timing); output is
+    garbage in probe modes."""
     l = num_landmarks
     c = hog_num_cells(s, cell_size)
     lp = l * s          # compact patch lanes: landmark stride = S
@@ -201,6 +205,9 @@ def _face_features(win_ref, g, x_row, wx_ref, wy_ref, rx_ref, ry_ref,
             preferred_element_type=jnp.float32)                 # (S, S)
         patch = jnp.clip(jnp.floor(patch + 0.5), 0.0, 255.0)
         pscr[0:s, lm * s:(lm + 1) * s] = patch.astype(jnp.bfloat16)
+
+    if probe == "sample":
+        return ied
 
     # ---- HOG over all L patches at once: (S, L*S) lane-packed ---- #
     img = pscr[0:s, 0:lp].astype(jnp.float32)                   # (S, LP)
@@ -302,7 +309,7 @@ def _cascade_kernel(x0_ref, win_ref, w0, w1, w2, w3,
                     wx_ref, wy_ref, rx_ref, ry_ref, o_ref,
                     gscr, pscr, fscr, *,
                     levels, g_faces, ry_n, rx_n, num_landmarks, o_count,
-                    dims, cell_sizes, r_idx, l_idx):
+                    dims, cell_sizes, r_idx, l_idx, probe=None):
     w_refs = [w0, w1, w2, w3][:len(levels)]
     c = hog_num_cells(levels[0][0], cell_sizes[0])
     # bias segment: ones, once (every other segment is fully rewritten
@@ -319,7 +326,9 @@ def _cascade_kernel(x0_ref, win_ref, w0, w1, w2, w3,
                 gscr, pscr, fscr, li=li, s=s, w=w, wx=wx, ry_n=ry_n,
                 rx_n=rx_n, num_landmarks=num_landmarks, o_count=o_count,
                 dims=dims, rel_patch=rel, cell_size=cell_sizes[li],
-                r_idx=r_idx, l_idx=l_idx))
+                r_idx=r_idx, l_idx=l_idx, probe=probe))
+        if probe in ("sample", "nogemv"):
+            continue
         # batched regressor GEMV: M = G faces per step amortises the
         # MXU's M-tile padding (an M=1 per-face GEMV measured ~10% of
         # the whole cascade in pure padding waste)
@@ -469,7 +478,7 @@ def compact_to_standard_rows(num_landmarks: int, num_cells: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "levels", "cell_sizes", "num_orientations", "dims", "r_idx", "l_idx",
-    "faces_per_step", "interpret"))
+    "faces_per_step", "interpret", "probe"))
 def detect_cascade_fused(windows: jnp.ndarray,
                          x0: jnp.ndarray,
                          weights_perm,
@@ -480,7 +489,8 @@ def detect_cascade_fused(windows: jnp.ndarray,
                          r_idx,
                          l_idx,
                          faces_per_step: int = 8,
-                         interpret: bool = False) -> jnp.ndarray:
+                         interpret: bool = False,
+                         probe=None) -> jnp.ndarray:
     """Run the full cascade over per-face windows in one kernel.
 
     windows: (N, RY, RX) bf16 (uint8/f32 cast here) face windows.
@@ -492,6 +502,9 @@ def detect_cascade_fused(windows: jnp.ndarray,
     r_idx/l_idx: eye-landmark index tuples for the IED.
     faces_per_step: G faces per grid step — batches each level's
       regressor GEMV to M=G (an M=1 GEMV wastes ~99% of its MXU tile).
+    probe: stage-ablation measurement hook ('sample' = sampling loop
+      only, 'nogemv' = sampling + HOG without the GEMV/update; output
+      is garbage) — scripts/probe_fused.py.
     Returns (N, 2L) f32 final rows (window coordinates).
     """
     interpret = interpret or jax.default_backend() == "cpu"
@@ -515,7 +528,7 @@ def detect_cascade_fused(windows: jnp.ndarray,
         _cascade_kernel, levels=tuple(levels), g_faces=g, ry_n=ry_n,
         rx_n=rx_n, num_landmarks=l, o_count=num_orientations, dims=dims,
         cell_sizes=tuple(cell_sizes), r_idx=tuple(r_idx),
-        l_idx=tuple(l_idx))
+        l_idx=tuple(l_idx), probe=probe)
 
     wx_all, wy_all, rx_all, ry_all = _splat_consts(
         tuple(levels), tuple(cell_sizes), num_orientations, l)
