@@ -25,12 +25,19 @@ hangs the compiler, so x-gradients use slice+concat):
     (L*128, 128) per-landmark block-diag tent — two dots replace the
     flat kernel's one deep dot while keeping the lane-packed layout
     legal (no (S,S)->(1,S*S) relayout exists in Mosaic);
-  * the clamped 2x2 block-energy sums are separable too: a left (C, C)
-    x-sum and a right per-landmark block-diag (128, 128) y-sum per
-    factor (clamping is per-axis, so border double-counting factors);
-  * the feature row is assembled into a (1, (D*C+1)*128) scratch by
-    D*C aligned row stores; the regressor weights are HOST-PERMUTED to
-    match (permute_weights), so the GEMV is one lanes-contracting dot.
+  * the clamped 2x2 block-energy sums are separable too: a left
+    block-diag x-sum and a right per-landmark block-diag (128, 128)
+    y-sum per factor (clamping is per-axis, so border double-counting
+    factors);
+  * the HOG tail (energies, factors, channel math, feature-row
+    assembly) is BATCHED across the G faces of a grid step: per-face
+    (C, 128) cell histograms stack into (G*BR, 128) operands (BR = C
+    sublane-tile-padded), so the tail issues ~G x fewer VPU ops — the
+    per-face variant measured op-issue-bound (PERF_NOTES stage
+    ablation); the regressor weights are HOST-PERMUTED to the cx-major
+    feature order (permute_weights), so each cell-x scatters one
+    contiguous D*128-lane strip per face and the GEMV is one
+    lanes-contracting dot.
 
 Numerics: fast serving class only (bf16 dots, sector-comparison
 orientation binning, quantised patches) — the same class as
@@ -72,9 +79,16 @@ def _w1d(size: int, cell_size: int) -> np.ndarray:
     return w.astype(np.float32)
 
 
+def _block_rows(num_cells: int) -> int:
+    """Sublane rows per face block in the batched-tail scratch: the cell
+    rows of one face, padded up to the (8, 128) sublane tile so every
+    per-face store lands tile-aligned."""
+    return -(-num_cells // SUBLANE_ALIGN) * SUBLANE_ALIGN
+
+
 @functools.lru_cache(maxsize=None)
 def _splat_consts(levels, cell_sizes, num_orientations: int,
-                  num_landmarks: int):
+                  num_landmarks: int, g_faces: int):
     """Stacked per-level separable splat + block-sum constants.
 
     Returns numpy arrays (lanes COMPACT — patches are stored at stride S,
@@ -84,7 +98,10 @@ def _splat_consts(levels, cell_sizes, num_orientations: int,
       wx_all (R, S_max, C)        per-level 1-D x tents,
       wy_all (R, L*S_max, SEG)    per-landmark block-diag y-tents
                                   (rows packed at the level's own S),
-      rx_all (2, 8, C)            clamped x block-sum pair (sublane pad),
+      rx_all (2, G*BR, G*BR)      clamped x block-sum pair, block-diag
+                                  over the G faces of a grid step (the
+                                  batched HOG tail stacks faces on
+                                  sublanes at BR-row blocks),
       ry_all (2, SEG, SEG)        per-landmark block-diag y block-sums.
     """
     o = num_orientations
@@ -101,14 +118,18 @@ def _splat_consts(levels, cell_sizes, num_orientations: int,
         for lm in range(l):
             wy_all[li, lm * s:lm * s + s, lm * c:(lm + 1) * c] = w1
 
-    rx_all = np.zeros((2, 8, c), np.float32)
+    br = _block_rows(c)
+    gb = g_faces * br
+    rx_all = np.zeros((2, gb, gb), np.float32)
     ry_all = np.zeros((2, SEG, SEG), np.float32)
     for ai, a in enumerate((-1, 0)):
         ry = np.zeros((c, c), np.float32)
         for cx in range(c):
             for d in (a, a + 1):
-                rx_all[ai, cx, int(np.clip(cx + d, 0, c - 1))] += 1.0
-                ry[int(np.clip(cx + d, 0, c - 1)), cx] += 1.0
+                cn = int(np.clip(cx + d, 0, c - 1))
+                for g in range(g_faces):
+                    rx_all[ai, g * br + cx, g * br + cn] += 1.0
+                ry[cn, cx] += 1.0
         for lm in range(l):
             ry_all[ai, lm * c:(lm + 1) * c, lm * c:(lm + 1) * c] = ry
     return wx_all, wy_all, rx_all, ry_all
@@ -121,8 +142,10 @@ def permute_weights(weights: np.ndarray, num_landmarks: int,
     Input rows follow the reference's Matlab flatten
     idx = lm*(D*C*C) + d*C*C + cx*C + cy, bias last
     (adaptive_vlhog.hpp:166-183). Output (P, (D*C+1)*SEG): column
-    (d*C+cx)*SEG + lm*C + cy holds input row idx; bias at lane
-    D*C*SEG; pad lanes zero.
+    (cx*D+d)*SEG + lm*C + cy holds input row idx; bias at lane
+    D*C*SEG; pad lanes zero. The segment order is cx-MAJOR (cell-x
+    outer, descriptor-channel inner) so the batched HOG tail can write
+    one face-row's D*SEG feature lanes contiguously per cell-x.
     """
     l, c, d = num_landmarks, num_cells, dims
     f, p = weights.shape
@@ -131,19 +154,23 @@ def permute_weights(weights: np.ndarray, num_landmarks: int,
     dd, cx, lm, cy = np.meshgrid(np.arange(d), np.arange(c),
                                  np.arange(l), np.arange(c), indexing="ij")
     src = (lm * (d * c * c) + dd * c * c + cx * c + cy).ravel()
-    dst = ((dd * c + cx) * SEG + lm * c + cy).ravel()
+    dst = ((cx * d + dd) * SEG + lm * c + cy).ravel()
     out[:, dst] = weights[src].T
     out[:, d * c * SEG] = weights[f - 1]
     return out
 
 
-def _face_features(win_ref, g, x_row, wx_ref, wy_ref, rx_ref, ry_ref,
-                   gscr, pscr, fscr, *, li, s, w, wx, ry_n, rx_n,
-                   num_landmarks, o_count, dims, rel_patch, cell_size,
+def _face_features(win_ref, g, x_row, wx_ref, wy_ref,
+                   gscr, pscr, bscr, *, li, s, w, wx, ry_n, rx_n,
+                   num_landmarks, o_count, g_faces, rel_patch, cell_size,
                    r_idx, l_idx, probe=None):
-    """Sample + HOG-describe one face's level, writing the feature row
-    into fscr[g]. x_row: (2L,) f32, WINDOW space. Returns the face's IED
-    (needed to scale the batched GEMV update).
+    """Sample + splat-describe one face's level: the L landmark patches
+    are sampled, gradient-binned and cell-splatted, and the face's
+    (2O*C, SEG) pre-normalisation cell histograms land in the batched-
+    tail scratch bscr (plane-major, BR-row face blocks — _hog_tail
+    finishes the normalisation/channel math for all G faces at once).
+    x_row: (2L,) f32, WINDOW space. Returns the face's IED (needed to
+    scale the batched GEMV update).
 
     probe: measurement hook (scripts/probe_fused.py) — 'sample' stops
     after the patch-sampling loop (stage-ablation timing); output is
@@ -238,9 +265,10 @@ def _face_features(win_ref, g, x_row, wx_ref, wy_ref, rx_ref, ry_ref,
             best_bin == o, grad, 0.0).astype(jnp.bfloat16)
 
     # separable splat: per-plane x-tent contractions (2O small dots —
-    # one block-diagonal dot here would multiply every plane against
-    # every plane's zero blocks, 8x the flops), then ONE per-landmark
-    # block-diag y contraction
+    # a single (2O*S, 2O*C) block-diagonal dot was MEASURED no faster,
+    # 75.5 -> 77.2 ms at the bench config: Mosaic pipelines the small
+    # dots well enough that the 8x zero-block flops buy nothing), then
+    # ONE per-landmark block-diag y contraction
     w1x = wx_ref[li, 0:s, :].astype(jnp.bfloat16)               # (S, C)
     planes = [jax.lax.dot_general(
         w1x, gscr[o * s:(o + 1) * s, 0:lp],
@@ -251,10 +279,38 @@ def _face_features(win_ref, g, x_row, wx_ref, wy_ref, rx_ref, ry_ref,
         a_all.astype(jnp.bfloat16), wy_ref[li, 0:lp, :].astype(jnp.bfloat16),
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
-    ha = [b_all[k * c:(k + 1) * c, :] for k in range(o_count)]
-    hb = [b_all[(k + o_count) * c:(k + o_count + 1) * c, :]
+    # ---- scatter into the batched-tail scratch ---- #
+    # bscr is plane-major: plane k's G face blocks live at sublane rows
+    # [k*G*BR + g*BR, ... + C) (BR = C padded to the sublane tile, so
+    # every store starts tile-aligned). The per-face tail math used to
+    # run here on (C, SEG) = (3, 128) tiles — hundreds of single-tile
+    # ops per face made the HOG stage op-issue-bound (PERF_NOTES stage
+    # ablation); _hog_tail now runs it once per grid step on (G*BR, SEG)
+    # operands.
+    br = _block_rows(c)
+    gb = g_faces * br
+    for k in range(2 * o_count):
+        bscr[k * gb + g * br:k * gb + g * br + c, :] = \
+            b_all[k * c:(k + 1) * c, :]
+    return ied
+
+
+def _hog_tail(bscr, cscr, fscr, rx_ref, ry_ref, *, g_faces, c, o_count,
+              dims):
+    """Batched HOG normalisation + channel math for the G faces of one
+    grid step: block energies, the four clamped block-sum factors, the
+    Uoctti channel construction, and the feature-row scatter — all on
+    (G*BR, SEG) stacked operands instead of per-face (C, SEG) tiles.
+
+    bscr pad rows (C..BR of each face block) must be ZERO: they ride
+    through the energy/factor dots (the block-diag rx has zero columns
+    there, so zeros stay inert) and are never selected into fscr."""
+    br = _block_rows(c)
+    gb = g_faces * br
+    ha = [bscr[k * gb:(k + 1) * gb, :] for k in range(o_count)]
+    hb = [bscr[(k + o_count) * gb:(k + o_count + 1) * gb, :]
           for k in range(o_count)]
-    energy = jnp.zeros((c, SEG), jnp.float32)
+    energy = jnp.zeros((gb, SEG), jnp.float32)
     for k in range(o_count):
         f_ = ha[k] + hb[k]
         energy = energy + f_ * f_
@@ -264,7 +320,7 @@ def _face_features(win_ref, g, x_row, wx_ref, wy_ref, rx_ref, ry_ref,
     factors = []
     for (aix, aiy) in ((0, 0), (1, 0), (0, 1), (1, 1)):
         fs = jax.lax.dot_general(
-            rx_ref[aix, 0:c, :], energy, (((1,), (0,)), ((), ())),
+            rx_ref[aix, :, :], energy, (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
         fs = jax.lax.dot_general(
@@ -274,12 +330,12 @@ def _face_features(win_ref, g, x_row, wx_ref, wy_ref, rx_ref, ry_ref,
         factors.append(jax.lax.rsqrt(fs + 1e-4))
 
     # Uoctti channel math (identical to ops/hog_pallas_flat.py)
-    t_acc = [jnp.zeros((c, SEG), jnp.float32) for _ in range(4)]
+    t_acc = [jnp.zeros((gb, SEG), jnp.float32) for _ in range(4)]
     ch_a, ch_b, ch_c = [], [], []
     for k in range(o_count):
-        ha_s = jnp.zeros((c, SEG), jnp.float32)
-        hb_s = jnp.zeros((c, SEG), jnp.float32)
-        hc_s = jnp.zeros((c, SEG), jnp.float32)
+        ha_s = jnp.zeros((gb, SEG), jnp.float32)
+        hb_s = jnp.zeros((gb, SEG), jnp.float32)
+        hc_s = jnp.zeros((gb, SEG), jnp.float32)
         for i in range(4):
             hai = factors[i] * ha[k]
             hbi = factors[i] * hb[k]
@@ -295,19 +351,27 @@ def _face_features(win_ref, g, x_row, wx_ref, wy_ref, rx_ref, ry_ref,
     out_channels = ch_a + ch_b + ch_c + [t * scale_t for t in t_acc]
     assert len(out_channels) == dims
 
-    # ---- feature row assembly: D*C aligned row stores ---- #
+    # ---- feature-row scatter: channels -> cscr, then one exact
+    # selection dot per cell-x picks each face's row (the cx-major
+    # feature order makes the destination lanes contiguous) ---- #
     for d in range(dims):
-        chan = out_channels[d]
-        for cx in range(c):
-            fscr[g:g + 1, (d * c + cx) * SEG:(d * c + cx + 1) * SEG] = \
-                chan[cx:cx + 1, :]
+        cscr[:, d * SEG:(d + 1) * SEG] = out_channels[d]
+    cs = cscr[:, :]
+    iota_g = jax.lax.broadcasted_iota(jnp.int32, (g_faces, gb), 0)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (g_faces, gb), 1)
+    for cx in range(c):
+        sel = jnp.where(iota_r == iota_g * br + cx, 1.0, 0.0)
+        rows = jax.lax.dot_general(
+            sel, cs, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)          # (G, D*SEG)
+        fscr[0:g_faces, cx * dims * SEG:(cx + 1) * dims * SEG] = rows
     # (the bias segment is written once by the caller)
-    return ied
 
 
 def _cascade_kernel(x0_ref, win_ref, w0, w1, w2, w3,
                     wx_ref, wy_ref, rx_ref, ry_ref, o_ref,
-                    gscr, pscr, fscr, *,
+                    gscr, pscr, fscr, bscr, cscr, *,
                     levels, g_faces, ry_n, rx_n, num_landmarks, o_count,
                     dims, cell_sizes, r_idx, l_idx, probe=None):
     w_refs = [w0, w1, w2, w3][:len(levels)]
@@ -316,18 +380,28 @@ def _cascade_kernel(x0_ref, win_ref, w0, w1, w2, w3,
     # per level per face)
     fscr[:, dims * c * SEG:(dims * c + 1) * SEG] = jnp.ones(
         (g_faces, SEG), jnp.float32)
+    # zero bscr once: its pad rows (C..BR of each face block) are never
+    # stored to, and uninitialised VMEM could hold NaN patterns that the
+    # tail's energy squares would otherwise propagate
+    @pl.when(pl.program_id(0) == 0)
+    def _init_bscr():
+        bscr[:, :] = jnp.zeros(bscr.shape, jnp.float32)
 
     x_rows = [x0_ref[g, 0, :] for g in range(g_faces)]          # (2L,) each
     for li, (s, w, wx, rel) in enumerate(levels):
         ieds = []
         for g in range(g_faces):
             ieds.append(_face_features(
-                win_ref, g, x_rows[g], wx_ref, wy_ref, rx_ref, ry_ref,
-                gscr, pscr, fscr, li=li, s=s, w=w, wx=wx, ry_n=ry_n,
+                win_ref, g, x_rows[g], wx_ref, wy_ref,
+                gscr, pscr, bscr, li=li, s=s, w=w, wx=wx, ry_n=ry_n,
                 rx_n=rx_n, num_landmarks=num_landmarks, o_count=o_count,
-                dims=dims, rel_patch=rel, cell_size=cell_sizes[li],
+                g_faces=g_faces, rel_patch=rel, cell_size=cell_sizes[li],
                 r_idx=r_idx, l_idx=l_idx, probe=probe))
-        if probe in ("sample", "nogemv"):
+        if probe == "sample":
+            continue
+        _hog_tail(bscr, cscr, fscr, rx_ref, ry_ref, g_faces=g_faces,
+                  c=c, o_count=o_count, dims=dims)
+        if probe == "nogemv":
             continue
         # batched regressor GEMV: M = G faces per step amortises the
         # MXU's M-tile padding (an M=1 per-face GEMV measured ~10% of
@@ -345,23 +419,30 @@ def _cascade_kernel(x0_ref, win_ref, w0, w1, w2, w3,
 
 
 def _features_kernel(x0_ref, win_ref, wx_ref, wy_ref, rx_ref, ry_ref,
-                     o_ref, gscr, pscr, *,
+                     o_ref, gscr, pscr, bscr, cscr, *,
                      level, g_faces, ry_n, rx_n, num_landmarks, o_count,
                      dims, cell_size, r_idx, l_idx):
     """One level's fused sample+HOG feature extraction for G faces per
     grid step; feature rows land directly in the output block (which
-    plays the fscr role of _face_features)."""
+    plays the fscr role of _hog_tail)."""
     s, w, wx, rel = level
     c = hog_num_cells(s, cell_size)
     o_ref[:, dims * c * SEG:(dims * c + 1) * SEG] = jnp.ones(
         (g_faces, SEG), jnp.float32)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init_bscr():
+        bscr[:, :] = jnp.zeros(bscr.shape, jnp.float32)
+
     for g in range(g_faces):
         _face_features(
-            win_ref, g, x0_ref[g, 0, :], wx_ref, wy_ref, rx_ref, ry_ref,
-            gscr, pscr, o_ref, li=0, s=s, w=w, wx=wx, ry_n=ry_n,
+            win_ref, g, x0_ref[g, 0, :], wx_ref, wy_ref,
+            gscr, pscr, bscr, li=0, s=s, w=w, wx=wx, ry_n=ry_n,
             rx_n=rx_n, num_landmarks=num_landmarks, o_count=o_count,
-            dims=dims, rel_patch=rel, cell_size=cell_size,
+            g_faces=g_faces, rel_patch=rel, cell_size=cell_size,
             r_idx=r_idx, l_idx=l_idx)
+    _hog_tail(bscr, cscr, o_ref, rx_ref, ry_ref, g_faces=g_faces,
+              c=c, o_count=o_count, dims=dims)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -405,9 +486,10 @@ def extract_features_fused(windows: jnp.ndarray,
     s = level[0]
     lp = l * s
     c = hog_num_cells(s, cell_size)
+    br = _block_rows(c)
     kdim = (dims * c + 1) * SEG
     wx_all, wy_all, rx_all, ry_all = _splat_consts(
-        (tuple(level),), (cell_size,), num_orientations, l)
+        (tuple(level),), (cell_size,), num_orientations, l, g)
     kernel = functools.partial(
         _features_kernel, level=tuple(level), g_faces=g, ry_n=ry_n,
         rx_n=rx_n, num_landmarks=l, o_count=num_orientations, dims=dims,
@@ -434,6 +516,8 @@ def extract_features_fused(windows: jnp.ndarray,
         scratch_shapes=[
             pltpu.VMEM((2 * num_orientations * s, lp), jnp.bfloat16),
             pltpu.VMEM((s, lp), jnp.bfloat16),
+            pltpu.VMEM((2 * num_orientations * g * br, SEG), jnp.float32),
+            pltpu.VMEM((g * br, dims * SEG), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -448,7 +532,7 @@ def compact_feature_columns(feats_k: jnp.ndarray, num_landmarks: int,
                             num_cells: int, dims: int) -> jnp.ndarray:
     """(N, (D*C+1)*SEG) padded kernel rows -> (N, F) compact features.
 
-    Column order stays the KERNEL order (segment-major: (d, cx) outer,
+    Column order stays the KERNEL order (segment-major: (cx, d) outer,
     (lm, cy) inner), bias LAST — a pure static slice+concat, no gather.
     The regularise_last_row bias exemption applies unchanged (bias is
     still the final column), and MatrixNorm's ||AtA||_F is permutation-
@@ -468,9 +552,10 @@ def compact_to_standard_rows(num_landmarks: int, num_cells: int,
 
     Use as W_std[std_rows] = W_compact to convert weights solved on
     compact_feature_columns output into the reference's Matlab order
-    (adaptive_vlhog.hpp:166-183)."""
+    (adaptive_vlhog.hpp:166-183). The enumeration must match
+    permute_weights' cx-major segment order."""
     l, c, d = num_landmarks, num_cells, dims
-    dd, cx, lm, cy = np.meshgrid(np.arange(d), np.arange(c),
+    cx, dd, lm, cy = np.meshgrid(np.arange(c), np.arange(d),
                                  np.arange(l), np.arange(c), indexing="ij")
     std = (lm * (d * c * c) + dd * c * c + cx * c + cy).ravel()
     return np.concatenate([std, [l * d * c * c]]).astype(np.int64)
@@ -523,6 +608,7 @@ def detect_cascade_fused(windows: jnp.ndarray,
     s_max = max(lv[0] for lv in levels)
     lp_max = l * s_max
     c = hog_num_cells(levels[0][0], cell_sizes[0])
+    br = _block_rows(c)
     kdim = (dims * c + 1) * SEG
     kernel = functools.partial(
         _cascade_kernel, levels=tuple(levels), g_faces=g, ry_n=ry_n,
@@ -531,7 +617,7 @@ def detect_cascade_fused(windows: jnp.ndarray,
         l_idx=tuple(l_idx), probe=probe)
 
     wx_all, wy_all, rx_all, ry_all = _splat_consts(
-        tuple(levels), tuple(cell_sizes), num_orientations, l)
+        tuple(levels), tuple(cell_sizes), num_orientations, l, g)
     w_ops = [jnp.asarray(w, jnp.bfloat16) for w in weights_perm]
     w_ops += [jnp.zeros((l2, kdim), jnp.bfloat16)] * (4 - len(w_ops))
 
@@ -561,6 +647,8 @@ def detect_cascade_fused(windows: jnp.ndarray,
                        jnp.bfloat16),
             pltpu.VMEM((s_max, lp_max), jnp.bfloat16),
             pltpu.VMEM((g, kdim), jnp.float32),
+            pltpu.VMEM((2 * num_orientations * g * br, SEG), jnp.float32),
+            pltpu.VMEM((g * br, dims * SEG), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
