@@ -194,3 +194,30 @@ def test_fused_training_backend(trained):
     ref = np.asarray(model_w.detect_batch(
         stack, boxes, image_indices=jnp.arange(len(boxes))))
     np.testing.assert_allclose(pred, ref, atol=2.0)  # px, fast-vs-exact train
+
+
+def test_feature_order_mappings_consistent():
+    # The three feature-order artifacts must agree on ONE kernel column
+    # order (cx-major segments, (lm, cy) inner, bias last):
+    # permute_weights (detect GEMV), compact_feature_columns (training
+    # features) and compact_to_standard_rows (training weight map).
+    # Feeding the identity through permute_weights yields the
+    # std-row -> kernel-column placement matrix, which ties them
+    # together exactly.
+    from superviseddescent_tpu.ops.cascade_pallas import (
+        SEG, compact_feature_columns, compact_to_standard_rows,
+        permute_weights)
+    l, c, d = 5, 3, 16
+    f = l * d * c * c + 1
+    m = permute_weights(np.eye(f, dtype=np.float32), l, c, d)
+    assert m.shape == (f, (d * c + 1) * SEG)
+    # a permutation into the padded width: every std feature lands on
+    # exactly one kernel column, no two share one
+    assert (m.sum(axis=1) == 1.0).all()
+    assert ((m.sum(axis=0) == 0) | (m.sum(axis=0) == 1)).all()
+    assert m.sum() == f
+    compact = np.asarray(compact_feature_columns(m, l, c, d))
+    std_rows = compact_to_standard_rows(l, c, d)
+    expect = (std_rows[None, :] == np.arange(f)[:, None]).astype(
+        np.float32)
+    np.testing.assert_array_equal(compact, expect)
