@@ -117,11 +117,19 @@ class TrainCheckpointer:
     def _path(self, level: int) -> str:
         return os.path.join(self.directory, f"level_{level:02d}.npz")
 
-    def save_level(self, level: int, weights, current_x) -> None:
+    def save_level(self, level: int, weights, current_x,
+                   feature_order: str = "std") -> None:
+        """feature_order tags the weight-ROW order of this level:
+        "std" (reference Matlab order — every non-fused backend) or the
+        fused kernel's compact order tag (rcr_training passes
+        ops/cascade_pallas.KERNEL_FEATURE_ORDER, versioned so a kernel
+        column-order change can never silently scramble a resumed
+        run)."""
         # np.savez appends .npz when missing, so keep the suffix on the tmp
         tmp = os.path.join(self.directory, f".tmp_level_{level:02d}.npz")
         np.savez(tmp, weights=np.asarray(weights, np.float32),
-                 current_x=np.asarray(current_x, np.float32))
+                 current_x=np.asarray(current_x, np.float32),
+                 feature_order=np.str_(feature_order))
         os.replace(tmp, self._path(level))
 
     def completed_levels(self) -> int:
@@ -130,6 +138,19 @@ class TrainCheckpointer:
             n += 1
         return n
 
-    def load_level(self, level: int):
+    def load_level(self, level: int, expect_order: str = "std"):
         with np.load(self._path(level)) as data:
+            if "feature_order" in data:
+                order = str(data["feature_order"])
+            else:
+                # pre-marker checkpoint: its row order is unknowable in
+                # general (old fused runs used a since-changed kernel
+                # order), so only the std order may assume compatibility
+                order = "std"
+            if order != expect_order:
+                raise ValueError(
+                    f"checkpoint level {level} holds '{order}'-order "
+                    f"weights but this run solves in '{expect_order}' "
+                    f"order — resume with the config that wrote it, or "
+                    f"delete the checkpoint directory to retrain")
             return data["weights"], data["current_x"]

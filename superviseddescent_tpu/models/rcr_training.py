@@ -321,10 +321,20 @@ def train_rcr(images, groundtruth_rows, faceboxes,
 
     start_level = 0
     if checkpointer is not None:
+        # fused-backend levels are solved (and checkpointed) in the
+        # kernel's compact feature order; tag each level so a resume
+        # under a different backend — or a changed kernel order — fails
+        # loudly instead of scrambling weight rows
+        if config.patch_backend == "fused":
+            from superviseddescent_tpu.ops.cascade_pallas import (
+                KERNEL_FEATURE_ORDER as _ckpt_order)
+        else:
+            _ckpt_order = "std"
         start_level = min(checkpointer.completed_levels(),
                           len(config.hog_params))
         for lvl in range(start_level):
-            w, x_restored = checkpointer.load_level(lvl)
+            w, x_restored = checkpointer.load_level(
+                lvl, expect_order=_ckpt_order)
             sdo.regressors[lvl] = LinearRegressor(
                 weights=jnp.asarray(w),
                 regulariser=config.regularisation,
@@ -344,7 +354,8 @@ def train_rcr(images, groundtruth_rows, faceboxes,
         def _on_epoch_with_ckpt(current_x):
             lvl = level_counter[0]
             checkpointer.save_level(
-                lvl, sdo.regressors[lvl].weights, _unpad(current_x))
+                lvl, sdo.regressors[lvl].weights, _unpad(current_x),
+                feature_order=_ckpt_order)
             level_counter[0] += 1
             if on_epoch is not None:
                 on_epoch(_to_caller(current_x))
@@ -362,8 +373,8 @@ def train_rcr(images, groundtruth_rows, faceboxes,
         # column order (bias last); the solves were run in that order, so
         # map each level's weight rows back to the reference's Matlab
         # order before storing them in the model. (Mid-train checkpoints
-        # of a fused run hold kernel-order weights; resume with the same
-        # config.)
+        # of a fused run hold kernel-order weights; they carry the
+        # KERNEL_FEATURE_ORDER tag and load_level enforces it on resume.)
         from superviseddescent_tpu.ops.cascade_pallas import (
             compact_to_standard_rows)
         from superviseddescent_tpu.ops.hog import hog_dimension

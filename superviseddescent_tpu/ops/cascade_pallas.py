@@ -67,6 +67,14 @@ from superviseddescent_tpu.ops.patches_pallas import (
 
 SEG = 128          # lane segment per landmark / per feature-row block
 
+# Tag for the kernel's compact feature-column order, stamped into
+# mid-train checkpoints of fused-backend runs (io/checkpoint.py) so a
+# kernel column-order change can never silently scramble a resumed run.
+# BUMP THIS whenever permute_weights / compact_to_standard_rows change
+# their enumeration. v2 = cx-major segments ((cx*D+d) outer, (lm, cy)
+# inner, bias last); v1 was (d*C+cx)-major.
+KERNEL_FEATURE_ORDER = "kernel-cx-v2"
+
 
 def _w1d(size: int, cell_size: int) -> np.ndarray:
     """(S, C) 1-D cell tent with zeroed border pixels (hog.c interior

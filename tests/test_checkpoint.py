@@ -89,3 +89,28 @@ def test_train_resume_from_level_checkpoints(tmp_path):
     for rf, rr in zip(model_full.sdo.regressors, model_resumed.sdo.regressors):
         np.testing.assert_allclose(np.asarray(rf.weights),
                                    np.asarray(rr.weights), atol=1e-6)
+
+
+def test_level_checkpoint_order_marker(tmp_path):
+    # Mid-train checkpoints carry the weight-row feature order; a resume
+    # expecting a different order (e.g. a fused-run checkpoint resumed
+    # non-fused, or one written before a kernel column-order bump) must
+    # fail loudly instead of silently scrambling the weight map-back.
+    import pytest
+    from superviseddescent_tpu.ops.cascade_pallas import (
+        KERNEL_FEATURE_ORDER)
+    ck = TrainCheckpointer(tmp_path / "ck")
+    w = np.arange(12, dtype=np.float32).reshape(3, 4)
+    x = np.zeros((2, 4), np.float32)
+    ck.save_level(0, w, x, feature_order=KERNEL_FEATURE_ORDER)
+    wl, _ = ck.load_level(0, expect_order=KERNEL_FEATURE_ORDER)
+    np.testing.assert_array_equal(wl, w)
+    with pytest.raises(ValueError, match="feature|order"):
+        ck.load_level(0)  # default expects std order
+    # pre-marker archives (no feature_order key) only pass as std
+    np.savez(os.path.join(ck.directory, "level_01.npz"),
+             weights=w, current_x=x)
+    wl, _ = ck.load_level(1)
+    np.testing.assert_array_equal(wl, w)
+    with pytest.raises(ValueError, match="order"):
+        ck.load_level(1, expect_order=KERNEL_FEATURE_ORDER)
