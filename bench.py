@@ -205,8 +205,11 @@ def bench_mesh(n_dev, stack, gt_rows, boxes, model_landmarks,
     from superviseddescent_tpu.parallel.dist import sharded_detect
 
     mesh = make_mesh(n_dev)
-    sel = (np.arange(max(n_dev * 2, stack.shape[0]))
-           % stack.shape[0]).astype(np.int32)
+    # sharded_detect shards the batch axis over the mesh — round the
+    # face count up to a device multiple (5 LFPW faces on 2 devices
+    # would otherwise fail the divisibility check after the train ran)
+    n_faces = max(n_dev * 2, -(-stack.shape[0] // n_dev) * n_dev)
+    sel = (np.arange(n_faces) % stack.shape[0]).astype(np.int32)
     mm = train_rcr(stack, gt_rows[sel], boxes[sel], model_landmarks,
                    right_ids, left_ids, mean,
                    RcrTrainConfig(seed=0), image_indices=sel, mesh=mesh)
@@ -287,8 +290,7 @@ def main():
     # the fused whole-cascade kernel (ops/cascade_pallas.py) — the
     # fastest serving path (window streams once, no patch HBM round
     # trips, one dispatch)
-    detect_fused = model.make_fused_detector(batch, roi=512,
-                                             max_ied=max_ied)
+    detect_fused = model.make_fused_detector(roi=512, max_ied=max_ied)
 
     t0 = time.time()
     out = detect(bench_images, bench_boxes)

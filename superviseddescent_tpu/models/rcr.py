@@ -163,6 +163,11 @@ class HogTransform:
             model_landmarks, right_eye_ids, left_eye_ids)
         self.image_indices = (None if image_indices is None
                               else jnp.asarray(image_indices, jnp.int32))
+        # lazily computed by _identity_for: is the explicit sample->image
+        # map the identity permutation? (lets _call_block skip the window
+        # gather safely — a bare images.shape[0] == n check would mis-fire
+        # when an explicit non-identity map has as many samples as images)
+        self._indices_are_arange = None
         self.quantize = quantize
         on_tpu = jax.default_backend() == "tpu"
         if backend == "auto":
@@ -185,12 +190,15 @@ class HogTransform:
             sub_windows = tuple(0 for _ in self.hog_params)
         if patch_backend == "fused":
             p0 = self.hog_params[0]
-            from superviseddescent_tpu.ops.hog import HogVariant
             if any((p.num_cells, p.num_bins, p.variant) !=
                    (p0.num_cells, p0.num_bins, p0.variant)
-                   for p in self.hog_params) or p0.variant != HogVariant.Uoctti:
-                raise ValueError("fused backend requires uniform Uoctti "
+                   for p in self.hog_params):
+                raise ValueError("fused backend requires uniform "
                                  "cell-count/bins across levels")
+            from superviseddescent_tpu.ops.cascade_pallas import (
+                validate_fused_config)
+            validate_fused_config(len(model_landmarks), p0.num_cells,
+                                  p0.num_bins, p0.variant)
             if not quantize:
                 raise ValueError("fused backend always quantizes patches")
         self.patch_method = patch_backend
@@ -229,14 +237,37 @@ class HogTransform:
             f"cannot infer image indices for batch {n} over "
             f"{self.images.shape[0]} images; pass image_indices")
 
+    def _identity_for(self, n: int) -> bool:
+        """True iff sample i provably reads window/image i (so the
+        per-sample window gather can be skipped)."""
+        if self.images.shape[0] != n:
+            return False
+        if self.image_indices is None:
+            return True
+        if self.image_indices.shape[0] != n:
+            return False
+        if isinstance(self.image_indices, jax.core.Tracer):
+            # constructed under jit with traced indices: identity cannot
+            # be proven, so gather (always correct; pass concrete arange
+            # indices — or None — to skip the gather)
+            return False
+        if self._indices_are_arange is None:
+            self._indices_are_arange = bool(np.array_equal(
+                np.asarray(self.image_indices), np.arange(n)))
+        return self._indices_are_arange
+
     def __call__(self, x: jnp.ndarray, level: int) -> jnp.ndarray:
         n = x.shape[0]
+        identity = self._identity_for(n)
         if (self.chunk_size is not None and n > self.chunk_size
-                and self.patch_method != "fused"):
-            # the fused kernel streams per-face blocks itself — no
-            # lax.map chunking needed (or wanted)
+                and not (self.patch_method == "fused" and identity)):
+            # the fused kernel streams per-face blocks itself, so an
+            # identity batch needs no lax.map chunking — but a
+            # non-identity batch still gathers one window per sample
+            # ahead of the kernel, and THAT allocation must stay chunked
             return self._call_chunked(x, level)
-        return self._call_block(x, level, self._indices_for(n))
+        return self._call_block(x, level, self._indices_for(n),
+                                identity=identity)
 
     def _call_chunked(self, x, level):
         """lax.map over fixed-size sample chunks: one compiled body, peak
@@ -258,7 +289,7 @@ class HogTransform:
         return out.reshape(padded, -1)[:n]
 
     def _call_block(self, x: jnp.ndarray, level: int,
-                    image_indices) -> jnp.ndarray:
+                    image_indices, identity: bool = False) -> jnp.ndarray:
         p = self.hog_params[level]
         n, two_l = x.shape
         l = two_l // 2
@@ -282,10 +313,7 @@ class HogTransform:
             from superviseddescent_tpu.ops.cascade_pallas import (
                 compact_feature_columns, extract_features_fused)
             from superviseddescent_tpu.ops.hog import hog_dimension
-            if self.images.shape[0] == n:
-                windows = self.images
-            else:
-                windows = self.images[image_indices]
+            windows = self.images if identity else self.images[image_indices]
             w = self.sub_windows[level] or windows.shape[1]
             wx = (self.sub_windows_x[level] if self.sub_windows_x
                   else 0) or windows.shape[2]
@@ -300,12 +328,9 @@ class HogTransform:
         if self.patch_method == "window":
             from superviseddescent_tpu.ops.patches_pallas import (
                 max_patch_half, max_patch_half_x, sample_patches_window)
-            if self.images.shape[0] == n:
-                windows = self.images
-            else:
-                # chunked calls (and shared-window batches) index into the
-                # window stack per sample
-                windows = self.images[image_indices]
+            # chunked calls (and shared-window batches) index into the
+            # window stack per sample; identity batches skip the gather
+            windows = self.images if identity else self.images[image_indices]
             w = self.sub_windows[level] or windows.shape[1]
             wx = (self.sub_windows_x[level] if self.sub_windows_x
                   else 0) or windows.shape[2]
@@ -557,12 +582,14 @@ class DetectionModel:
             return epilogue(x, shift)
         return run
 
-    def make_fused_detector(self, batch: int, roi: int,
+    def make_fused_detector(self, roi: int,
                             max_ied: Optional[float] = None):
         """Whole-cascade FUSED Pallas detector (ops/cascade_pallas.py):
         one kernel samples, HOG-describes and regresses all levels with
         the face window resident in VMEM — no per-level window
         re-streams, no patch HBM round-trips, 1 dispatch instead of 8.
+        The returned callable is batch-polymorphic (one compile per
+        distinct batch size).
 
         Serving-fast numerics only (bf16 dots, sector binning, quantised
         patches) — the same class as make_stepped_detector(
@@ -571,7 +598,8 @@ class DetectionModel:
         the stepped window path; max_ied as there.
         """
         from superviseddescent_tpu.ops.cascade_pallas import (
-            SEG, detect_cascade_fused, permute_weights)
+            SEG, detect_cascade_fused, permute_weights,
+            validate_fused_config)
         from superviseddescent_tpu.ops.hog import hog_dimension
         if roi % 128 != 0:
             raise ValueError("fused detector requires a 128-aligned roi")
@@ -585,6 +613,8 @@ class DetectionModel:
                     c, p0.num_bins, p0.variant):
                 raise ValueError(
                     "fused detector requires uniform cell-count/bins")
+        validate_fused_config(len(self.landmark_ids), c, p0.num_bins,
+                              p0.variant)
         levels = tuple(
             (p.patch_size, sub_w[li], sub_x[li] or roi,
              p.relative_patch_size)

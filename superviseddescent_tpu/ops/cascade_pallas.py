@@ -77,14 +77,40 @@ KERNEL_FEATURE_ORDER = "kernel-cx-v2"
 
 
 def _w1d(size: int, cell_size: int) -> np.ndarray:
-    """(S, C) 1-D cell tent with zeroed border pixels (hog.c interior
-    loops, hog.c:616-617)."""
-    c = hog_num_cells(size, cell_size)
-    h = (np.arange(size, dtype=np.float64) + 0.5) / cell_size - 0.5
-    w = np.maximum(0.0, 1.0 - np.abs(h[:, None] - np.arange(c)[None, :]))
-    w[0, :] = 0.0
-    w[-1, :] = 0.0
-    return w.astype(np.float32)
+    """(S, C) 1-D cell tent with zeroed border pixels — the shared
+    tent from ops/hog.py so any parity fix there reaches this kernel."""
+    from superviseddescent_tpu.ops.hog import _cell_weights
+    return _cell_weights(size, cell_size)
+
+
+def validate_fused_config(num_landmarks: int, num_cells: int,
+                          num_bins: int, variant) -> None:
+    """Raise a clear error for configs the fused kernel cannot serve.
+
+    Invariants baked into the kernel layout/math:
+      * lane packing: each face's per-cell-row histograms pack all
+        L landmarks x C cells into one SEG(=128)-lane segment
+        (permute_weights / the batched HOG tail index as lm*C + cy);
+      * the fast sector binning hard-codes 8 sectors -- tan(pi/8)
+        comparisons -- i.e. num_bins == 4 (hog.c orientation assignment
+        for O=4; the flat kernel falls back to argmax for other O,
+        hog_pallas_flat.py, but this kernel has no slow path);
+      * Uoctti channel math only.
+    """
+    from superviseddescent_tpu.ops.hog import HogVariant
+    if variant != HogVariant.Uoctti:
+        raise ValueError("fused kernel supports the Uoctti variant only")
+    if num_bins != 4:
+        raise ValueError(
+            "fused kernel's sector orientation binning is specialised to "
+            f"num_bins=4 (8 sectors); got num_bins={num_bins} — use the "
+            "window/dense backend for other bin counts")
+    if num_landmarks * num_cells > SEG:
+        raise ValueError(
+            f"fused kernel packs num_landmarks*num_cells lanes per "
+            f"segment: {num_landmarks}*{num_cells} > {SEG} — at most "
+            f"{SEG // num_cells} landmarks fit at num_cells={num_cells}; "
+            "use the window/dense backend for larger models")
 
 
 def _block_rows(num_cells: int) -> int:

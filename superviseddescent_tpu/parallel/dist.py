@@ -103,8 +103,7 @@ def sharded_detect_fused(model, images, faceboxes, mesh: Mesh,
     spec2 = NamedSharding(mesh, P(axis_name, None))
     images = jax.device_put(jnp.asarray(images), spec3)
     faceboxes = jax.device_put(jnp.asarray(faceboxes, jnp.float32), spec2)
-    detect = model.make_fused_detector(batch // n_dev, roi=roi,
-                                       max_ied=max_ied)
+    detect = model.make_fused_detector(roi=roi, max_ied=max_ied)
     run = jax.shard_map(
         detect, mesh=mesh,
         in_specs=(P(axis_name, None, None), P(axis_name, None)),

@@ -113,9 +113,8 @@ def test_fused_cascade_close(trained):
     stack128, _ = stack_images(
         [np.asarray(stack[i]) for i in range(stack.shape[0])],
         pad_width_to=128)
-    fused = np.asarray(model.make_fused_detector(
-        len(boxes), roi=512, max_ied=145.0)(
-            stack128.astype(np.uint8), boxes))
+    fused = np.asarray(model.make_fused_detector(roi=512, max_ied=145.0)(
+        stack128.astype(np.uint8), boxes))
     np.testing.assert_allclose(fused, mono, atol=0.75)
 
 
@@ -221,3 +220,29 @@ def test_feature_order_mappings_consistent():
     expect = (std_rows[None, :] == np.arange(f)[:, None]).astype(
         np.float32)
     np.testing.assert_array_equal(compact, expect)
+
+
+def test_fused_config_validation():
+    # the fused kernel's baked-in invariants must raise clearly, not
+    # produce silent garbage (sector binning is num_bins=4-only; lane
+    # packing caps num_landmarks*num_cells at 128)
+    from superviseddescent_tpu.ops.cascade_pallas import (
+        validate_fused_config)
+    from superviseddescent_tpu.ops.hog import HogVariant
+
+    validate_fused_config(22, 5, 4, HogVariant.Uoctti)     # RCR-22: fine
+    validate_fused_config(25, 5, 4, HogVariant.Uoctti)     # 125 lanes: fine
+    with pytest.raises(ValueError, match="num_bins=4"):
+        validate_fused_config(22, 5, 6, HogVariant.Uoctti)
+    with pytest.raises(ValueError, match="Uoctti"):
+        validate_fused_config(22, 5, 4, HogVariant.DalalTriggs)
+    with pytest.raises(ValueError, match="at most 25 landmarks"):
+        validate_fused_config(68, 5, 4, HogVariant.Uoctti)  # full ibug-68
+
+    # the model-level entry points hit the same validation
+    from superviseddescent_tpu.models import HogParams, HogTransform
+    bad = (HogParams(HogVariant.Uoctti, 5, 8, 6, 0.7),)
+    with pytest.raises(ValueError, match="num_bins=4"):
+        HogTransform(np.zeros((1, 128, 128), np.float32), bad,
+                     LANDMARKS, RIGHT_EYE, LEFT_EYE,
+                     patch_backend="fused")

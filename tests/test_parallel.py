@@ -154,7 +154,7 @@ def test_sharded_fused_detect_matches():
         [np.asarray(stack[i]) for i in sel], pad_width_to=128)
     boxes8 = boxes[sel]
 
-    single = np.asarray(model.make_fused_detector(8, roi=512,
+    single = np.asarray(model.make_fused_detector(roi=512,
                                                   max_ied=145.0)(
         stack128, boxes8))
     mesh = make_mesh()

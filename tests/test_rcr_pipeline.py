@@ -186,6 +186,36 @@ def test_uint8_stack_matches_float32():
     np.testing.assert_array_equal(np.asarray(hf(x, 0)), np.asarray(hu(x, 0)))
 
 
+def test_window_backend_nonidentity_indices_same_count():
+    # Regression: an explicit NON-identity image_indices map whose length
+    # happens to equal the window-stack size must still gather per sample
+    # (the window/fused branches used to shortcut on shape equality and
+    # silently sample window i for sample i).
+    rng = np.random.default_rng(7)
+    n, r, l = 5, 128, len(SMALL_LANDMARKS)
+    wins = rng.integers(0, 256, size=(n, r, r)).astype(np.float32)
+    rows = np.concatenate([
+        rng.uniform(40, r - 40, (n, l)).astype(np.float32),
+        rng.uniform(40, r - 40, (n, l)).astype(np.float32)], axis=1)
+    perm = np.array([2, 0, 4, 1, 3], np.int32)
+
+    def feats(stack, indices):
+        hog = HogTransform(stack, SMALL_HOG, SMALL_LANDMARKS, RIGHT_EYE,
+                           LEFT_EYE, image_indices=indices,
+                           patch_backend="window", quantize=False)
+        return np.asarray(hog(jnp.asarray(rows), 0))
+
+    via_indices = feats(wins, perm)          # N samples over N windows
+    pre_gathered = feats(wins[perm], None)   # ground truth: explicit gather
+    np.testing.assert_allclose(via_indices, pre_gathered, atol=1e-5)
+    # identity detection: arange indices (detect_batch's construction)
+    # must still take the no-gather shortcut
+    hog = HogTransform(wins, SMALL_HOG, SMALL_LANDMARKS, RIGHT_EYE,
+                       LEFT_EYE, image_indices=np.arange(n, dtype=np.int32),
+                       patch_backend="window", quantize=False)
+    assert hog._identity_for(n) and not hog._identity_for(n - 1)
+
+
 @needs_data
 def test_rcr_end_to_end_train_detect_roundtrip(tmp_path):
     stack, gt_rows = load_small_dataset()
