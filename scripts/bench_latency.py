@@ -1,0 +1,90 @@
+"""Fenced single-face (batch-1) serving latency — the rcr-track scenario.
+
+The reference's rcr-track prints per-frame face-detect + landmark-fit
+wall times (rcr-track.cpp:146-166) but records no numbers; its landmark
+fit is the single-threaded SDO::predict loop measured at ~10 ms/face on
+this machine (BASELINE.md). This script measures the TPU equivalents at
+batch 1 with the scalar-readback fence (utils/timing.py):
+
+  * fused whole-cascade kernel (ops/cascade_pallas.py), batch 1;
+  * stepped window-sampler fast path (8 kernels), batch 1;
+  * Haar face detection (models/facedetect.py), one 512x768 frame.
+
+Faces/boxes live on device (the steady tracking loop re-uses the frame
+already uploaded for face detection; host->device frame upload is a
+PCIe-class transfer outside the tunnel's artificial RTT).
+"""
+import glob
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+DATA = "/root/reference/examples/data/ibug_lfpw_trainset"
+CFG_DIR = "/root/reference/apps/rcr/data"
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from superviseddescent_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from superviseddescent_tpu.io import (read_landmarks_list_to_train,
+                                          read_pts_landmarks)
+    from superviseddescent_tpu.models import DetectionModel, gt_facebox
+    from superviseddescent_tpu.ops.patches import (load_gray_image,
+                                                   stack_images)
+    from superviseddescent_tpu.utils.landmarks import (
+        to_landmark_collection, to_row)
+    from superviseddescent_tpu.utils.timing import measure
+
+    model = DetectionModel.load(os.path.join(REPO, "pretrained",
+                                             "rcr22_lfpw5.bin"))
+    model_landmarks = read_landmarks_list_to_train(
+        f"{CFG_DIR}/rcr_training_22.cfg")
+    png = sorted(glob.glob(f"{DATA}/*.png"))[0]
+    lms = read_pts_landmarks(png.replace(".png", ".pts"))
+    row = to_row(lms.filter(model_landmarks))
+    box = gt_facebox(to_landmark_collection(row, model_landmarks))
+    stack, _ = stack_images([load_gray_image(png)], pad_width_to=128)
+
+    frame = jax.device_put(jnp.asarray(stack, jnp.uint8))        # (1, H, W)
+    box1 = jax.device_put(jnp.asarray(box, jnp.float32)[None])   # (1, 4)
+
+    fused = model.make_fused_detector(roi=512, max_ied=145.0)
+    dt, r = measure(fused, frame, box1, reps=50)
+    print(f"fused cascade, batch 1:   {dt*1e3:7.2f} ms/frame "
+          f"(fence rtt {r*1e3:.1f} ms)")
+
+    stepped = model.make_stepped_detector(
+        1, roi=512, sampling="fast", window_sampler=True, max_ied=145.0)
+    dt_s, _ = measure(stepped, frame, box1, reps=50)
+    print(f"stepped window, batch 1:  {dt_s*1e3:7.2f} ms/frame")
+
+    xml = "/usr/share/opencv4/haarcascades/haarcascade_frontalface_alt2.xml"
+    if os.path.exists(xml):
+        from superviseddescent_tpu.models.facedetect import (
+            HaarCascadeDetector)
+        det = HaarCascadeDetector(xml, scale_factor=1.2, min_neighbors=2,
+                                  min_size=(50, 50))
+        img = np.asarray(stack[0], np.float32)
+        det.detect(img)                       # compile + host grouping
+        import time
+        t0 = time.perf_counter()
+        for _ in range(10):
+            n = len(det.detect(img))
+        dt_fd = (time.perf_counter() - t0) / 10
+        print(f"Haar face detect ({img.shape[0]}x{img.shape[1]}): "
+              f"{dt_fd*1e3:7.2f} ms/frame ({n} boxes; host grouping + "
+              f"readback included)")
+    else:
+        print("no Haar cascade XML found; skipping face-detect latency")
+
+    print(f"\ntracking loop (fit only): {1.0/dt:,.0f} frames/sec fused; "
+          f"reference ~10 ms/face single-core (BASELINE.md)")
+
+
+if __name__ == "__main__":
+    main()

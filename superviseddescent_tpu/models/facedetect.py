@@ -106,6 +106,15 @@ def _evaluate_scale(image, bank0, bank1, thresh0, thresh1, flip0, leaves,
     return passed.reshape(oh, ow)
 
 
+@jax.jit
+def _flatten_masks(*pieces):
+    """Ravel + concatenate every pyramid scale's mask bands into ONE
+    buffer so the host needs a single readback for the whole pyramid.
+    Recompiles per distinct shape tuple — shapes are 64-bucketed, so one
+    compile per image-size class."""
+    return jnp.concatenate([p.reshape(-1) for p in pieces])
+
+
 @functools.partial(jax.jit, static_argnames=("sh", "sw", "bh", "bw"))
 def _resize_pad(img, sh: int, sw: int, bh: int, bw: int):
     """Pyramid step: resize (cv2-style bilinear, no antialias) + zero-pad
@@ -226,11 +235,13 @@ class HaarCascadeDetector:
     # intermediates to a few hundred MB regardless of image size
     MAX_WINDOWS_PER_CALL = 1 << 16
 
-    def _masks_banded(self, scaled, sh: int, sw: int,
-                      stride: int) -> np.ndarray:
-        """Pass mask for one pyramid scale, evaluated in horizontal
-        row bands when the window count would blow up device memory
-        (e.g. 4K frames at the first stride-1 scale)."""
+    def _mask_pieces(self, scaled, sh: int, sw: int, stride: int):
+        """Pass mask for one pyramid scale as a list of DEVICE arrays
+        (row bands of the full-width mask) — no host readback here, so
+        the whole pyramid can be enqueued before a single transfer.
+        Banding bounds the (N, T) feature intermediates when the window
+        count would blow up device memory (e.g. 4K frames at the first
+        stride-1 scale)."""
         d = self.data
         wh, ww = d.window_height, d.window_width
         bh, bw = scaled.shape
@@ -240,8 +251,8 @@ class HaarCascadeDetector:
         oh_full = (bh - wh) // stride + 1
         ow_full = (bw - ww) // stride + 1
         if oh_full * ow_full <= self.MAX_WINDOWS_PER_CALL:
-            return np.asarray(_evaluate_scale(
-                scaled, *args, wh, ww, stride, self._stage_bounds))
+            return [_evaluate_scale(
+                scaled, *args, wh, ww, stride, self._stage_bounds)]
         boh = max(1, self.MAX_WINDOWS_PER_CALL // ow_full)
         bph = boh * stride + wh - stride          # pixel rows per band
         oh = (sh - wh) // stride + 1
@@ -249,10 +260,9 @@ class HaarCascadeDetector:
         need = (n_bands - 1) * boh * stride + bph
         if need > bh:
             scaled = jnp.pad(scaled, ((0, need - bh), (0, 0)))
-        rows = [np.asarray(_evaluate_band(
+        return [_evaluate_band(
             scaled, b * boh * stride, *args, bph, wh, ww, stride,
-            self._stage_bounds)) for b in range(n_bands)]
-        return np.concatenate(rows, axis=0)
+            self._stage_bounds) for b in range(n_bands)]
 
     def detect(self, image) -> np.ndarray:
         """Detect objects in a grayscale image.
@@ -266,9 +276,16 @@ class HaarCascadeDetector:
         h, w = img.shape
         d = self.data
         # one upload per image; every per-scale step below is a jitted
-        # call (eager ops dispatch synchronously on remote backends)
+        # call (eager ops dispatch synchronously on remote backends).
+        # Phase 1 enqueues the WHOLE pyramid without reading anything
+        # back; phase 2 flattens every scale's mask into one buffer on
+        # device and reads it back in a single transfer — per-scale
+        # readbacks used to cost one tunnel RTT (~30 ms) per scale,
+        # ~14x the device time of the pyramid itself.
         img_dev = jnp.asarray(img)
-        candidates: List[np.ndarray] = []
+        pieces = []                    # device mask bands, all scales
+        scale_infos = []               # (first_piece, n_pieces, oh, ow,
+        #                                 stride, factor)
         factor = 1.0
         while True:
             win_w = d.window_width * factor
@@ -291,9 +308,24 @@ class HaarCascadeDetector:
                 bw = -(-sw // 64) * 64
                 scaled = _resize_pad(img_dev, sh, sw, bh, bw)
                 stride = 1 if factor > 2.0 else 2
-                mask = self._masks_banded(scaled, sh, sw, stride)
+                ps = self._mask_pieces(scaled, sh, sw, stride)
                 oh = (sh - d.window_height) // stride + 1
                 ow = (sw - d.window_width) // stride + 1
+                scale_infos.append((len(pieces), len(ps), oh, ow,
+                                    stride, factor))
+                pieces.extend(ps)
+            factor *= self.scale_factor
+
+        candidates: List[np.ndarray] = []
+        if pieces:
+            flat = np.asarray(_flatten_masks(*pieces))
+            offsets = np.cumsum([0] + [int(np.prod(p.shape))
+                                       for p in pieces])
+            for first, n_ps, oh, ow, stride, factor in scale_infos:
+                mask = np.concatenate([
+                    flat[offsets[i]:offsets[i + 1]].reshape(
+                        pieces[i].shape)
+                    for i in range(first, first + n_ps)], axis=0)
                 ys, xs = np.nonzero(mask[:oh, :ow])
                 for y, x in zip(ys, xs):
                     candidates.append(np.float32([
@@ -301,7 +333,6 @@ class HaarCascadeDetector:
                         round(y * stride * factor),
                         round(d.window_width * factor),
                         round(d.window_height * factor)]))
-            factor *= self.scale_factor
         boxes = (np.stack(candidates) if candidates
                  else np.zeros((0, 4), np.float32))
         if self.min_neighbors > 0:
