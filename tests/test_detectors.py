@@ -246,3 +246,56 @@ def test_fused_config_validation():
         HogTransform(np.zeros((1, 128, 128), np.float32), bad,
                      LANDMARKS, RIGHT_EYE, LEFT_EYE,
                      patch_backend="fused")
+
+
+def test_cofw29_scale_model_end_to_end():
+    # The reference ships a second model family at 29 landmarks
+    # (face_landmarks_model_rcr_cofw_29.bin, .MISSING_LARGE_BLOBS). The
+    # framework must not be specialised to 22: train a 29-landmark model
+    # (29 ibug ids standing in for the COFW annotation) and serve it
+    # through both the exact monolithic path and the fused cascade
+    # kernel (29 landmarks x 3 cells = 87 lanes fits the kernel's
+    # 128-lane packing).
+    import jax.numpy as jnp
+    ids29 = [str(i) for i in
+             (3, 9, 15, 18, 20, 22, 23, 25, 27, 28, 31, 32, 34, 36,
+              37, 38, 40, 41, 43, 44, 46, 47, 49, 51, 52, 53, 55, 58, 63)]
+    assert len(ids29) == 29
+    images, rows = [], []
+    for png in sorted(glob.glob(os.path.join(DATA, "*.png"))):
+        lms = read_pts_landmarks(png.replace(".png", ".pts"))
+        images.append(load_gray_image(png))
+        rows.append(to_row(lms.filter(ids29)))
+    stack, _ = stack_images(images)
+    gt_rows = np.stack(rows)
+    boxes = np.stack([gt_facebox(to_landmark_collection(r, ids29))
+                      for r in gt_rows]).astype(np.float32)
+    l = len(ids29)
+    mean = np.mean([np.concatenate([(r[:l] - b[0]) / b[2] - 0.5,
+                                    (r[l:] - b[1]) / b[3] - 0.5])
+                    for r, b in zip(gt_rows, boxes)], axis=0).astype(np.float32)
+    cfg = RcrTrainConfig(
+        hog_params=HOG, num_perturbations=2, seed=3,
+        regularisation=Regulariser(RegularisationType.MatrixNorm, 0.1, False))
+    model = train_rcr(stack, gt_rows, boxes, ids29, RIGHT_EYE, LEFT_EYE,
+                      mean, cfg)
+
+    from superviseddescent_tpu.models import normalised_landmark_errors
+    from superviseddescent_tpu.utils.landmarks import resolve_eye_indices
+    r_idx, l_idx = resolve_eye_indices(ids29, RIGHT_EYE, LEFT_EYE)
+    mono = np.asarray(model.detect_batch(
+        stack, boxes, image_indices=jnp.arange(len(boxes))))
+    err = float(np.mean(normalised_landmark_errors(
+        jnp.asarray(mono), jnp.asarray(gt_rows), r_idx, l_idx)))
+    from superviseddescent_tpu.models.rcr import align_mean
+    init_err = float(np.mean(normalised_landmark_errors(
+        align_mean(mean[None], jnp.asarray(boxes)), jnp.asarray(gt_rows),
+        r_idx, l_idx)))
+    assert err < 0.1 and err < init_err / 2, (err, init_err)
+
+    stack128, _ = stack_images(
+        [np.asarray(stack[i]) for i in range(stack.shape[0])],
+        pad_width_to=128)
+    fused = np.asarray(model.make_fused_detector(roi=512, max_ied=145.0)(
+        stack128.astype(np.uint8), boxes))
+    np.testing.assert_allclose(fused, mono, atol=0.75)
