@@ -48,7 +48,9 @@ def main():
         images.append(load_gray_image(png))
         rows.append(to_row(lms.filter(model_landmarks)))
     stack, _ = stack_images(images, dtype=np.uint8)
-    n_faces = 1024
+    # default 1024 faces (the README scale config); pass e.g. 3148 for the
+    # full 300-W train-set face count (x11 inits = 34,628 samples)
+    n_faces = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     sel = (np.arange(n_faces) % stack.shape[0]).astype(np.int32)
     gt = np.stack(rows)[sel]
     boxes = np.stack([gt_facebox(to_landmark_collection(r, model_landmarks))
