@@ -79,6 +79,13 @@ def main():
         print(f"Haar face detect ({img.shape[0]}x{img.shape[1]}): "
               f"{dt_fd*1e3:7.2f} ms/frame ({n} boxes; host grouping + "
               f"readback included)")
+        img_dev = jax.device_put(jnp.asarray(img))
+        t0 = time.perf_counter()
+        for _ in range(10):
+            n = len(det.detect(img_dev))
+        dt_fd = (time.perf_counter() - t0) / 10
+        print(f"Haar, device-resident frame:  {dt_fd*1e3:7.2f} ms/frame "
+              f"(skips the per-call frame upload)")
     else:
         print("no Haar cascade XML found; skipping face-detect latency")
 

@@ -270,10 +270,21 @@ class HaarCascadeDetector:
         Returns (K, 4) float32 [x, y, w, h] boxes in image coordinates
         (grouped, like OpenCV's detectMultiScale).
         """
-        img = np.asarray(image, np.float32)
-        if img.ndim != 2:
-            raise ValueError("expected a (H, W) grayscale image")
-        h, w = img.shape
+        if isinstance(image, jax.Array):
+            # device-resident frame (e.g. the tracking loop's uploaded
+            # frame): skip the synchronous host->device re-upload, which
+            # costs a full RTT per call on tunneled backends
+            img_dev = (image if image.dtype == jnp.float32
+                       else image.astype(jnp.float32))
+            if img_dev.ndim != 2:
+                raise ValueError("expected a (H, W) grayscale image")
+            h, w = img_dev.shape
+        else:
+            img = np.asarray(image, np.float32)
+            if img.ndim != 2:
+                raise ValueError("expected a (H, W) grayscale image")
+            h, w = img.shape
+            img_dev = None
         d = self.data
         # one upload per image; every per-scale step below is a jitted
         # call (eager ops dispatch synchronously on remote backends).
@@ -282,7 +293,8 @@ class HaarCascadeDetector:
         # device and reads it back in a single transfer — per-scale
         # readbacks used to cost one tunnel RTT (~30 ms) per scale,
         # ~14x the device time of the pyramid itself.
-        img_dev = jnp.asarray(img)
+        if img_dev is None:
+            img_dev = jnp.asarray(img)
         pieces = []                    # device mask bands, all scales
         scale_infos = []               # (first_piece, n_pieces, oh, ow,
         #                                 stride, factor)
