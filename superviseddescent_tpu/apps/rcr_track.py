@@ -42,6 +42,9 @@ def main(argv=None):
                         "reference app (rcr-track.cpp:141)")
     p.add_argument("-o", "--output-dir", default=None,
                    help="write annotated frames here")
+    p.add_argument("--no-fused", action="store_true",
+                   help="disable the fused whole-cascade tracking kernel "
+                        "(exact monolithic fit instead of fast-mode)")
     args = p.parse_args(argv)
 
     from superviseddescent_tpu.models import DetectionModel
@@ -81,14 +84,50 @@ def main(argv=None):
         return (w > 5 and h > 5 and x + w > 0 and y + h > 0
                 and x < ww and y < hh)
 
+    from superviseddescent_tpu.utils.landmarks import to_landmark_collection
+
+    tracker = detector = None   # fused whole-cascade fits (lazy)
+    fused_usable = not args.no_fused
+
+    def fused_pair(shape):
+        """Build (or fetch) the fused facebox + tracking fits for frames
+        of this shape; None when the model/frame cannot use them. The
+        fused path also avoids the monolithic single-face jit whose cold
+        remote compile dominates a first frame."""
+        nonlocal tracker, detector, fused_usable
+        if not fused_usable or shape[0] < 512 or shape[1] < 512:
+            return None
+        if tracker is None:
+            try:
+                detector = model.make_fused_detector(roi=512)
+                tracker = model.make_fused_tracker(roi=512)
+                print("using the fused whole-cascade kernel "
+                      "(--no-fused for the exact fit)")
+            except ValueError as e:
+                fused_usable = False
+                print(f"fused kernel unavailable ({e}); using the "
+                      "exact fit")
+                return None
+        return detector, tracker
+
     prev_row = None
     for i, path in enumerate(frames):
-        image = load_gray_image(path)
+        image = np.asarray(load_gray_image(path), np.float32)
+        fused = fused_pair(image.shape)
         t0 = time.time()
         if prev_row is None:
-            lms = model.detect(image, box)
+            if fused:
+                row = np.asarray(fused[0](
+                    image[None], np.float32(box)[None]))[0]
+                lms = to_landmark_collection(row, model.landmark_ids)
+            else:
+                lms = model.detect(image, box)
         else:
-            lms = model.detect_from_landmarks(image, prev_row)
+            if fused:
+                row = np.asarray(fused[1](image[None], prev_row[None]))[0]
+                lms = to_landmark_collection(row, model.landmark_ids)
+            else:
+                lms = model.detect_from_landmarks(image, prev_row)
         fit_ms = (time.time() - t0) * 1000.0
         prev_row = to_row(lms)
         print(f"frame {i} ({os.path.basename(path)}): fit {fit_ms:.1f} ms, "

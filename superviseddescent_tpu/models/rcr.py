@@ -583,13 +583,20 @@ class DetectionModel:
         return run
 
     def make_fused_detector(self, roi: int,
-                            max_ied: Optional[float] = None):
+                            max_ied: Optional[float] = None,
+                            init: str = "facebox"):
         """Whole-cascade FUSED Pallas detector (ops/cascade_pallas.py):
         one kernel samples, HOG-describes and regresses all levels with
         the face window resident in VMEM — no per-level window
         re-streams, no patch HBM round-trips, 1 dispatch instead of 8.
         The returned callable is batch-polymorphic (one compile per
         distinct batch size).
+
+        init="facebox" (default) returns f(images, faceboxes) with the
+        mean shape aligned into each box (model.hpp:132-144);
+        init="landmarks" returns f(images, prior_rows) initialising from
+        a prior estimate, e.g. the previous video frame — the tracking
+        overload (model.hpp:147-157); see also make_fused_tracker.
 
         Serving-fast numerics only (bf16 dots, sector binning, quantised
         patches) — the same class as make_stepped_detector(
@@ -603,6 +610,8 @@ class DetectionModel:
         from superviseddescent_tpu.ops.hog import hog_dimension
         if roi % 128 != 0:
             raise ValueError("fused detector requires a 128-aligned roi")
+        if init not in ("facebox", "landmarks"):
+            raise ValueError(f"unknown init mode: {init!r}")
         mi = max_ied if max_ied is not None else roi / 2.13
         sub_w, sub_x = level_sub_windows(self.hog_params, roi, mi)
         p0 = self.hog_params[0]
@@ -659,7 +668,38 @@ class DetectionModel:
                 windows, x0, weights_perm, levels, cell_sizes,
                 p0.num_bins, dims, tuple(r_idx), tuple(l_idx))
             return out + shift
-        return run_fused
+
+        @jax.jit
+        def run_fused_from_landmarks(images, prior_rows):
+            # tracking init (model.hpp:147-157): x0 = the prior frame's
+            # landmark row; the roi window is centred on its enclosing box
+            rows = jnp.asarray(prior_rows, jnp.float32)
+            xs, ys = rows[:, :n_lm], rows[:, n_lm:]
+            boxes = jnp.stack([
+                (xs.min(1) + xs.max(1)) / 2.0 - roi / 2.0,
+                (ys.min(1) + ys.max(1)) / 2.0 - roi / 2.0,
+                jnp.full(rows.shape[:1], float(roi)),
+                jnp.full(rows.shape[:1], float(roi))], axis=1)
+            windows, ox, oy = crop_fn(jnp.asarray(images), boxes)
+            shift = jnp.concatenate([
+                jnp.tile(ox[:, None], (1, n_lm)),
+                jnp.tile(oy[:, None], (1, n_lm))], axis=1)
+            out = detect_cascade_fused(
+                windows, rows - shift, weights_perm, levels, cell_sizes,
+                p0.num_bins, dims, tuple(r_idx), tuple(l_idx))
+            return out + shift
+
+        return (run_fused_from_landmarks if init == "landmarks"
+                else run_fused)
+
+    def make_fused_tracker(self, roi: int,
+                           max_ied: Optional[float] = None):
+        """Fused whole-cascade fit initialised from prior landmark rows:
+        ``f(frames (N, H, W), prior_rows (N, 2L)) -> (N, 2L)`` — the
+        video tracking loop (reference: model.hpp:147-157) at the fused
+        kernel's batch-1 latency (scripts/bench_latency.py)."""
+        return self.make_fused_detector(roi, max_ied=max_ied,
+                                        init="landmarks")
 
     def make_scan_detector(self, batch: int, quantize: bool = True):
         """Whole-cascade detector whose levels run as ONE ``lax.scan``

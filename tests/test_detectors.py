@@ -299,3 +299,26 @@ def test_cofw29_scale_model_end_to_end():
     fused = np.asarray(model.make_fused_detector(roi=512, max_ied=145.0)(
         stack128.astype(np.uint8), boxes))
     np.testing.assert_allclose(fused, mono, atol=0.75)
+
+
+def test_fused_tracker_matches_monolithic(trained):
+    # init='landmarks' (the tracking overload, model.hpp:147-157): start
+    # from a perturbed prior row and compare against the exact
+    # detect_from_landmarks path; fast-mode numerics, sub-pixel deltas
+    model, stack, boxes = trained
+    from superviseddescent_tpu.utils.landmarks import to_row
+    rng = np.random.default_rng(11)
+    # prior estimates: ground truth detections jittered by a few px
+    import jax.numpy as jnp
+    prior = np.asarray(model.detect_batch(
+        stack, boxes, image_indices=jnp.arange(len(boxes))))
+    prior = prior + rng.normal(0, 2.0, prior.shape).astype(np.float32)
+    mono = np.stack([
+        to_row(model.detect_from_landmarks(np.asarray(stack[i]), prior[i]))
+        for i in range(len(prior))])
+    stack128, _ = stack_images(
+        [np.asarray(stack[i]) for i in range(stack.shape[0])],
+        pad_width_to=128)
+    tracked = np.asarray(model.make_fused_tracker(roi=512, max_ied=145.0)(
+        stack128.astype(np.uint8), prior))
+    np.testing.assert_allclose(tracked, mono, atol=0.75)
