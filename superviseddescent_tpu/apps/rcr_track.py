@@ -88,19 +88,24 @@ def main(argv=None):
 
     tracker = detector = None   # fused whole-cascade fits (lazy)
     fused_usable = not args.no_fused
+    ROI = 512
 
-    def fused_pair(shape):
-        """Build (or fetch) the fused facebox + tracking fits for frames
-        of this shape; None when the model/frame cannot use them. The
-        fused path also avoids the monolithic single-face jit whose cold
-        remote compile dominates a first frame."""
+    def fused_pair(shape, face_size):
+        """Build (or fetch) the fused facebox + tracking fits; None when
+        the model, this frame, or this FACE cannot use them — a face
+        larger than ~60% of the roi window would be cropped/IED-clamped
+        by the fused fit (the exact path handles any size), so such
+        frames fall back per frame. The fused path also avoids the
+        monolithic single-face jit whose cold remote compile dominates a
+        first frame."""
         nonlocal tracker, detector, fused_usable
-        if not fused_usable or shape[0] < 512 or shape[1] < 512:
+        if (not fused_usable or shape[0] < ROI or shape[1] < ROI
+                or face_size > 0.6 * ROI):
             return None
         if tracker is None:
             try:
-                detector = model.make_fused_detector(roi=512)
-                tracker = model.make_fused_tracker(roi=512)
+                detector = model.make_fused_detector(roi=ROI)
+                tracker = model.make_fused_tracker(roi=ROI)
                 print("using the fused whole-cascade kernel "
                       "(--no-fused for the exact fit)")
             except ValueError as e:
@@ -113,19 +118,39 @@ def main(argv=None):
     prev_row = None
     for i, path in enumerate(frames):
         image = np.asarray(load_gray_image(path), np.float32)
-        fused = fused_pair(image.shape)
-        t0 = time.time()
         if prev_row is None:
-            if fused:
-                row = np.asarray(fused[0](
-                    image[None], np.float32(box)[None]))[0]
-                lms = to_landmark_collection(row, model.landmark_ids)
-            else:
-                lms = model.detect(image, box)
+            face_size = max(box[2], box[3])
         else:
-            if fused:
-                row = np.asarray(fused[1](image[None], prev_row[None]))[0]
-                lms = to_landmark_collection(row, model.landmark_ids)
+            _, _, bw, bh = enclosing_bbox(prev_row)
+            face_size = max(bw, bh)
+        fused = fused_pair(image.shape, face_size)
+        t0 = time.time()
+        try:
+            if prev_row is None:
+                if fused:
+                    row = np.asarray(fused[0](
+                        image[None], np.float32(box)[None]))[0]
+                    lms = to_landmark_collection(row, model.landmark_ids)
+                else:
+                    lms = model.detect(image, box)
+            else:
+                if fused:
+                    row = np.asarray(fused[1](
+                        image[None], prev_row[None]))[0]
+                    lms = to_landmark_collection(row, model.landmark_ids)
+                else:
+                    lms = model.detect_from_landmarks(image, prev_row)
+        except Exception as e:  # noqa: BLE001 — degrade, don't crash
+            if not fused:
+                raise
+            # first-call compile/trace failures surface here, not at
+            # build time; disable the fused path and redo exactly
+            print(f"fused fit failed ({type(e).__name__}: {e}); "
+                  "falling back to the exact fit")
+            tracker = detector = None
+            fused_usable = False
+            if prev_row is None:
+                lms = model.detect(image, box)
             else:
                 lms = model.detect_from_landmarks(image, prev_row)
         fit_ms = (time.time() - t0) * 1000.0

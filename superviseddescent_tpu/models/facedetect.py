@@ -106,6 +106,13 @@ def _evaluate_scale(image, bank0, bank1, thresh0, thresh1, flip0, leaves,
     return passed.reshape(oh, ow)
 
 
+@functools.partial(jax.jit, static_argnames=("rows",))
+def _pad_rows(x, rows: int):
+    """Zero-pad rows as a jitted program (an eager jnp.pad in the
+    banded serving path would dispatch synchronously per scale)."""
+    return jnp.pad(x, ((0, rows), (0, 0)))
+
+
 @jax.jit
 def _flatten_masks(*pieces):
     """Ravel + concatenate every pyramid scale's mask bands into ONE
@@ -117,10 +124,12 @@ def _flatten_masks(*pieces):
 
 @functools.partial(jax.jit, static_argnames=("sh", "sw", "bh", "bw"))
 def _resize_pad(img, sh: int, sw: int, bh: int, bw: int):
-    """Pyramid step: resize (cv2-style bilinear, no antialias) + zero-pad
-    to the compile bucket, in one jitted program."""
-    scaled = jax.image.resize(img, (sh, sw), method="linear",
-                              antialias=False)
+    """Pyramid step: f32 cast + resize (cv2-style bilinear, no
+    antialias) + zero-pad to the compile bucket, in one jitted program
+    (the cast here keeps uint8 device frames 100% on the jitted path —
+    an eager astype would dispatch synchronously)."""
+    scaled = jax.image.resize(img.astype(jnp.float32), (sh, sw),
+                              method="linear", antialias=False)
     if (bh, bw) != (sh, sw):
         scaled = jnp.pad(scaled, ((0, bh - sh), (0, bw - sw)))
     return scaled
@@ -259,7 +268,7 @@ class HaarCascadeDetector:
         n_bands = -(-oh // boh)
         need = (n_bands - 1) * boh * stride + bph
         if need > bh:
-            scaled = jnp.pad(scaled, ((0, need - bh), (0, 0)))
+            scaled = _pad_rows(scaled, need - bh)
         return [_evaluate_band(
             scaled, b * boh * stride, *args, bph, wh, ww, stride,
             self._stage_bounds) for b in range(n_bands)]
@@ -273,9 +282,9 @@ class HaarCascadeDetector:
         if isinstance(image, jax.Array):
             # device-resident frame (e.g. the tracking loop's uploaded
             # frame): skip the synchronous host->device re-upload, which
-            # costs a full RTT per call on tunneled backends
-            img_dev = (image if image.dtype == jnp.float32
-                       else image.astype(jnp.float32))
+            # costs a full RTT per call on tunneled backends (any dtype;
+            # _resize_pad casts to f32 inside its jitted program)
+            img_dev = image
             if img_dev.ndim != 2:
                 raise ValueError("expected a (H, W) grayscale image")
             h, w = img_dev.shape

@@ -69,6 +69,15 @@ RCR22_HOG_PARAMS = (
 )
 
 
+def rows_shift(ox, oy, n_lm: int) -> jnp.ndarray:
+    """(N,) window origins -> (N, 2L) additive shift for [x..., y...]
+    landmark rows (shared by the stepped prologue and both fused
+    entry points — the row layout is encoded once)."""
+    return jnp.concatenate([
+        jnp.tile(ox[:, None], (1, n_lm)),
+        jnp.tile(oy[:, None], (1, n_lm))], axis=1)
+
+
 def align_mean(mean, facebox, scaling_x=1.0, scaling_y=1.0,
                translation_x=0.0, translation_y=0.0):
     """Place the mean shape ([-0.5, 0.5]^2 facebox space) into a pixel
@@ -566,9 +575,7 @@ class DetectionModel:
         # the axon tunnel) while jitted calls enqueue asynchronously
         @jax.jit
         def prologue(boxes, ox, oy):
-            shift = jnp.concatenate([
-                jnp.tile(ox[:, None], (1, n_lm)),
-                jnp.tile(oy[:, None], (1, n_lm))], axis=1)
+            shift = rows_shift(ox, oy, n_lm)
             return align_mean(mean[None, :], boxes) - shift, shift
 
         epilogue = jax.jit(lambda x, shift: x + shift)
@@ -660,9 +667,7 @@ class DetectionModel:
         def run_fused(images, faceboxes):
             boxes = jnp.asarray(faceboxes, jnp.float32)
             windows, ox, oy = crop_fn(jnp.asarray(images), boxes)
-            shift = jnp.concatenate([
-                jnp.tile(ox[:, None], (1, n_lm)),
-                jnp.tile(oy[:, None], (1, n_lm))], axis=1)
+            shift = rows_shift(ox, oy, n_lm)
             x0 = align_mean(mean[None, :], boxes) - shift
             out = detect_cascade_fused(
                 windows, x0, weights_perm, levels, cell_sizes,
@@ -681,9 +686,7 @@ class DetectionModel:
                 jnp.full(rows.shape[:1], float(roi)),
                 jnp.full(rows.shape[:1], float(roi))], axis=1)
             windows, ox, oy = crop_fn(jnp.asarray(images), boxes)
-            shift = jnp.concatenate([
-                jnp.tile(ox[:, None], (1, n_lm)),
-                jnp.tile(oy[:, None], (1, n_lm))], axis=1)
+            shift = rows_shift(ox, oy, n_lm)
             out = detect_cascade_fused(
                 windows, rows - shift, weights_perm, levels, cell_sizes,
                 p0.num_bins, dims, tuple(r_idx), tuple(l_idx))
