@@ -20,6 +20,8 @@ reference implementation compiled offline, tests/test_hog_golden.py):
 
   * interior pixels only (loops start at 1, hog.c:616-617);
   * central differences; gradient normalised by max(||g||, 1e-10) (:645-647);
+    multi-channel inputs select the max-squared-gradient channel per pixel
+    with the first channel winning ties (:631-648);
   * hard assignment to the best of 2*O directed bins by dot product with
     bin unit vectors (cos, sin)(k*pi/O), strict-> first-wins ties
     (:656-672); bilinear orientation assignment is off by default (:185);
@@ -117,7 +119,11 @@ def hog_cells(images: jnp.ndarray, cell_size: int, num_orientations: int,
 
     Args:
       images: (B, S, S) float32 patches, values in [0, 255] like the
-        reference (uint8 images converted to float).
+        reference (uint8 images converted to float), or (B, Ch, S, S)
+        planar multi-channel patches (the C's channelStride layout,
+        hog.c:603). With Ch > 1 the channel with the maximum squared
+        gradient magnitude is selected per pixel (hog.c:631-648; the
+        strict ">" update means the FIRST channel wins ties).
       cell_size: HOG cell size in pixels.
       num_orientations: O undirected orientations (2*O directed bins).
       bilinear_orientation: split mass between the two closest directed
@@ -129,7 +135,9 @@ def hog_cells(images: jnp.ndarray, cell_size: int, num_orientations: int,
       (B, C, C, 2*O) cell histograms, [cy, cx, bin] — matching the C's
       hog[x + y*W + bin*W*H] layout transposed to channels-last.
     """
-    b, s, s2 = images.shape
+    if images.ndim == 3:
+        images = images[:, None, :, :]
+    b, ch, s, s2 = images.shape
     assert s == s2, "square patches expected"
     dtype = images.dtype
     n_cells = hog_num_cells(s, cell_size)
@@ -143,10 +151,22 @@ def hog_cells(images: jnp.ndarray, cell_size: int, num_orientations: int,
     # via the tent matrices anyway, but zero them for exactness).
     gx = jnp.zeros_like(images)
     gy = jnp.zeros_like(images)
-    gx = gx.at[:, :, 1:-1].set(images[:, :, 2:] - images[:, :, :-2])
-    gy = gy.at[:, 1:-1, :].set(images[:, 2:, :] - images[:, :-2, :])
-    gx = gx.reshape(b, s * s)
-    gy = gy.reshape(b, s * s)
+    gx = gx.at[:, :, :, 1:-1].set(images[:, :, :, 2:] - images[:, :, :, :-2])
+    gy = gy.at[:, :, 1:-1, :].set(images[:, :, 2:, :] - images[:, :, :-2, :])
+    gx = gx.reshape(b, ch, s * s)
+    gy = gy.reshape(b, ch, s * s)
+
+    if ch == 1:
+        gx = gx[:, 0, :]
+        gy = gy[:, 0, :]
+    else:
+        # Max-gradient channel selection (hog.c:631-648): argmax's
+        # first-max-wins matches the C's strict ">" update; the all-zero
+        # case picks channel 0, whose gradient is the C's (0, 0) init.
+        grad2 = gx * gx + gy * gy                               # (B, Ch, P)
+        k = jnp.argmax(grad2, axis=1)[:, None, :]               # (B, 1, P)
+        gx = jnp.take_along_axis(gx, k, axis=1)[:, 0, :]
+        gy = jnp.take_along_axis(gy, k, axis=1)[:, 0, :]
 
     grad = jnp.sqrt(gx * gx + gy * gy)                          # (B, P)
     denom = jnp.maximum(grad, jnp.asarray(1e-10, dtype))
@@ -304,6 +324,9 @@ def hog_extract(cells: jnp.ndarray, variant: HogVariant = HogVariant.Uoctti
 def hog_descriptor(images: jnp.ndarray, cell_size: int, num_orientations: int,
                    variant: HogVariant = HogVariant.Uoctti) -> jnp.ndarray:
     """Full HOG pipeline: (B, S, S) patches -> (B, C*C*D) row descriptors.
+
+    Also accepts (B, Ch, S, S) planar multi-channel patches (max-gradient
+    channel selection, see hog_cells).
 
     Flattening follows the reference's Matlab column-major order
     (adaptive_vlhog.hpp:166-175): index = d*C*C + x*C + y.
