@@ -95,10 +95,14 @@ def _cell_weights(size: int, cell_size: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _orientation_vectors(num_orientations: int) -> np.ndarray:
-    """(2, O) unit vectors (cos, sin)(k*pi/O) (hog.c:195-204)."""
+def _orientation_vectors(num_orientations: int,
+                         transposed: bool = False) -> np.ndarray:
+    """(2, O) unit vectors (cos, sin)(k*pi/O) (hog.c:195-204). In the C's
+    transposed (column-major image buffer) mode the x/y components are
+    swapped (hog.c:197-203)."""
     angles = np.arange(num_orientations, dtype=np.float64) * np.pi / num_orientations
-    return np.stack([np.cos(angles), np.sin(angles)]).astype(np.float32)
+    vecs = np.stack([np.cos(angles), np.sin(angles)]).astype(np.float32)
+    return vecs[::-1].copy() if transposed else vecs
 
 
 @functools.lru_cache(maxsize=None)
@@ -114,7 +118,8 @@ def _cell_weights_2d(size: int, cell_size: int) -> np.ndarray:
 
 
 def hog_cells(images: jnp.ndarray, cell_size: int, num_orientations: int,
-              bilinear_orientation: bool = False) -> jnp.ndarray:
+              bilinear_orientation: bool = False,
+              transposed: bool = False) -> jnp.ndarray:
     """Directed-orientation cell histograms.
 
     Args:
@@ -130,6 +135,10 @@ def hog_cells(images: jnp.ndarray, cell_size: int, num_orientations: int,
         bins (hog.c:674-682; OFF by default like the reference, :185).
         Reproduces the C's quirk of applying the orientation weight to both
         spatial factors, i.e. contributions scale with the weight SQUARED.
+      transposed: the buffer is a column-major (Matlab-layout) image
+        (vl_hog_new's transposed flag): orientation unit vectors swap their
+        x/y components (hog.c:197-203). Pair with hog_extract(...,
+        transposed=True).
 
     Returns:
       (B, C, C, 2*O) cell histograms, [cy, cx, bin] — matching the C's
@@ -173,7 +182,7 @@ def hog_cells(images: jnp.ndarray, cell_size: int, num_orientations: int,
     gxn = gx / denom
     gyn = gy / denom
 
-    ov = jnp.asarray(_orientation_vectors(num_orientations))    # (2, O)
+    ov = jnp.asarray(_orientation_vectors(num_orientations, transposed))
     # scores_k = gxn*cos_k + gyn*sin_k  -> (B, O, P): O mid-axis, P last
     scores = (gxn[:, None, :] * ov[0][None, :, None]
               + gyn[:, None, :] * ov[1][None, :, None])
@@ -274,11 +283,15 @@ def hog_cells_from_polar(modulus: jnp.ndarray, angle: jnp.ndarray,
     return jnp.transpose(cells, (0, 2, 3, 1))
 
 
-def hog_extract(cells: jnp.ndarray, variant: HogVariant = HogVariant.Uoctti
-                ) -> jnp.ndarray:
+def hog_extract(cells: jnp.ndarray, variant: HogVariant = HogVariant.Uoctti,
+                transposed: bool = False) -> jnp.ndarray:
     """Block-normalised descriptor from directed cell histograms.
 
     cells: (B, C, C, 2*O) -> (B, C, C, D) with D = hog_dimension(...).
+
+    With `transposed` (column-major image buffers) the second and third
+    block-norm factors swap (hog.c:971-981), reordering the DalalTriggs
+    copies and the Uoctti texture dims.
     """
     b, c, c2, two_o = cells.shape
     num_orientations = two_o // 2
@@ -301,6 +314,8 @@ def hog_extract(cells: jnp.ndarray, variant: HogVariant = HogVariant.Uoctti
     f2 = jax.lax.rsqrt(n2 + n3 + n5 + n6 + eps)
     f3 = jax.lax.rsqrt(n4 + n5 + n7 + n8 + eps)
     f4 = jax.lax.rsqrt(n5 + n6 + n8 + n9 + eps)
+    if transposed:
+        f2, f3 = f3, f2
     factors = jnp.stack([f1, f2, f3, f4], axis=-1)[..., None]   # (B,C,C,4,1)
 
     clamp = jnp.asarray(0.2, dtype)
@@ -322,7 +337,8 @@ def hog_extract(cells: jnp.ndarray, variant: HogVariant = HogVariant.Uoctti
 
 
 def hog_descriptor(images: jnp.ndarray, cell_size: int, num_orientations: int,
-                   variant: HogVariant = HogVariant.Uoctti) -> jnp.ndarray:
+                   variant: HogVariant = HogVariant.Uoctti,
+                   transposed: bool = False) -> jnp.ndarray:
     """Full HOG pipeline: (B, S, S) patches -> (B, C*C*D) row descriptors.
 
     Also accepts (B, Ch, S, S) planar multi-channel patches (max-gradient
@@ -331,7 +347,8 @@ def hog_descriptor(images: jnp.ndarray, cell_size: int, num_orientations: int,
     Flattening follows the reference's Matlab column-major order
     (adaptive_vlhog.hpp:166-175): index = d*C*C + x*C + y.
     """
-    cells = hog_cells(images, cell_size, num_orientations)
-    desc = hog_extract(cells, variant)                          # (B,C,C,D)
+    cells = hog_cells(images, cell_size, num_orientations,
+                      transposed=transposed)
+    desc = hog_extract(cells, variant, transposed=transposed)   # (B,C,C,D)
     desc = jnp.transpose(desc, (0, 3, 2, 1))                    # (B,D,X,Y)
     return desc.reshape(desc.shape[0], -1)

@@ -47,9 +47,10 @@ def hog_flip_permutation(variant: HogVariant, num_orientations: int
 
 
 @functools.lru_cache(maxsize=None)
-def hog_glyphs(num_orientations: int) -> np.ndarray:
+def hog_glyphs(num_orientations: int, transposed: bool = False) -> np.ndarray:
     """(O, G, G) glyph images: bars orthogonal to each gradient orientation
-    (hog.c:276-312)."""
+    (hog.c:276-312). With `transposed` the glyphs are stored column-major
+    (hog.c:291-311), matching vl_hog_new's transposed mode."""
     g = GLYPH_SIZE
     glyphs = np.zeros((num_orientations, g, g), np.float32)
     for o in range(num_orientations):
@@ -70,11 +71,13 @@ def hog_glyphs(num_orientations: int) -> np.ndarray:
             for j in range(skip, g - skip):
                 i = int(np.floor(slope * j + offset + 0.5))
                 glyphs[o, j, i] = 1.0
+    if transposed:
+        glyphs = np.transpose(glyphs, (0, 2, 1)).copy()
     return glyphs
 
 
 def hog_render(descriptor: np.ndarray, variant: HogVariant,
-               num_orientations: int) -> np.ndarray:
+               num_orientations: int, transposed: bool = False) -> np.ndarray:
     """Render a (H, W, D) channels-last cell descriptor grid to a
     (H*G, W*G) glyph image (hog.c:428-495): each cell draws every
     orientation's bar weighted by the summed normalised copies, then clamps
@@ -82,7 +85,7 @@ def hog_render(descriptor: np.ndarray, variant: HogVariant,
     h, w, dims = descriptor.shape
     o_count = num_orientations
     assert dims == hog_dimension(variant, o_count)
-    glyphs = hog_glyphs(o_count)
+    glyphs = hog_glyphs(o_count, transposed)
     g = GLYPH_SIZE
     image = np.zeros((h * g, w * g), np.float32)
     for y in range(h):
