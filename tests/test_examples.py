@@ -46,3 +46,31 @@ def test_landmark_detection_example(tmp_path):
     # manual run measured 0.0083; anything in that class is a pass
     assert err < 0.05, out
     assert "Saved" in out
+
+
+def test_simple_function_example():
+    mod = _load("simple_function")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        mod.main()
+    out = buf.getvalue()
+    line = [l for l in out.splitlines() if l.startswith("test residual")]
+    assert line, out
+    res = float(line[0].split(":")[1].split()[0])
+    np.testing.assert_allclose(res, 0.026157, atol=5e-6)
+
+
+def test_pose_estimation_example():
+    mod = _load("pose_estimation")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        mod.main()
+    out = buf.getvalue()
+    line = [l for l in out.splitlines() if l.startswith("Predicted pose")]
+    assert line, out
+    import re
+    nums = [float(v) for v in re.findall(r"-?\d+\.\d+", line[0])]
+    pitch, yaw, roll = nums[:3]
+    # reference expectation: approx 11 / -25 / -10 (pose_estimation.cpp:325-334)
+    assert abs(pitch - 11.0) < 1.0 and abs(yaw + 25.0) < 1.0 \
+        and abs(roll + 10.0) < 1.0, out
