@@ -327,9 +327,22 @@ def main():
     dt_fu, _ = measure(detect_fused, bench_images, bench_boxes, reps=30)
     log(f"fused detect:   {dt_fu*1e3:.2f} ms / {batch} faces "
         f"-> {batch/dt_fu:.0f} faces/sec")
-    dt = min(dt_st, dt_fu)
+    # indexed fused variant: faces share 5 source frames, so slice each
+    # window straight from the unique-image stack (image_indices=) — the
+    # expanded (B, H, W) stack is never materialised in HBM
+    sel_dev = jax.device_put(jnp.asarray(sel, jnp.int32))
+    out_fi = detect_fused(stack_dev, bench_boxes, sel_dev)
+    assert np.array_equal(np.asarray(out_fi), np.asarray(out_fused)), \
+        "indexed fused path diverged from the expanded-stack path"
+    dt_fi, _ = measure(detect_fused, stack_dev, bench_boxes, sel_dev,
+                       reps=30)
+    log(f"fused indexed:  {dt_fi*1e3:.2f} ms / {batch} faces "
+        f"-> {batch/dt_fi:.0f} faces/sec")
+    dt = min(dt_st, dt_fu, dt_fi)
     faces_per_sec = batch / dt
-    log(f"best path: {'fused' if dt_fu <= dt_st else 'stepped'} "
+    best = {dt_st: "stepped", dt_fu: "fused",
+            dt_fi: "fused+image_indices"}[dt]
+    log(f"best path: {best} "
         f"-> {faces_per_sec:.0f} faces/sec on {len(devices)} device(s)")
 
     # ---------------- train seconds + held-out accuracy ---------------- #

@@ -604,6 +604,10 @@ class DetectionModel:
         init="landmarks" returns f(images, prior_rows) initialising from
         a prior estimate, e.g. the previous video frame — the tracking
         overload (model.hpp:147-157); see also make_fused_tracker.
+        Both accept an optional image_indices=(B,) int map when several
+        faces share source frames: images is then the unique-frame stack
+        (n_img, H, W) and each window is sliced from its frame in one
+        fused gather — no per-face (B, H, W) stack is materialised.
 
         Serving-fast numerics only (bf16 dots, sector binning, quantised
         patches) — the same class as make_stepped_detector(
@@ -647,7 +651,7 @@ class DetectionModel:
         n_lm = len(self.landmark_ids)
 
         @jax.jit
-        def crop_fn(images, boxes):
+        def crop_fn(images, boxes, image_indices=None):
             h, w = images.shape[1], images.shape[2]
             if h < roi or w < roi:
                 raise ValueError(f"roi {roi} exceeds image stack {h}x{w}")
@@ -657,16 +661,27 @@ class DetectionModel:
                           ).astype(jnp.int32)
             ox = jnp.clip(jnp.round(cx - roi / 2.0), 0, w - roi
                           ).astype(jnp.int32)
-            windows = jax.vmap(
-                lambda img, y0, x0: jax.lax.dynamic_slice(
-                    img, (y0, x0), (roi, roi)))(images, oy, ox)
+            if image_indices is None:
+                windows = jax.vmap(
+                    lambda img, y0, x0: jax.lax.dynamic_slice(
+                        img, (y0, x0), (roi, roi)))(images, oy, ox)
+            else:
+                # faces share source frames: slice each face's window
+                # straight out of the unique-image stack in one fused
+                # gather — the expanded (B, H, W) per-face stack is never
+                # materialised (saves its HBM write + re-read)
+                idx = jnp.asarray(image_indices, jnp.int32)
+                windows = jax.vmap(
+                    lambda i, y0, x0: jax.lax.dynamic_slice(
+                        images, (i, y0, x0), (1, roi, roi))[0])(idx, oy, ox)
             return (windows.astype(jnp.bfloat16),
                     ox.astype(jnp.float32), oy.astype(jnp.float32))
 
         @jax.jit
-        def run_fused(images, faceboxes):
+        def run_fused(images, faceboxes, image_indices=None):
             boxes = jnp.asarray(faceboxes, jnp.float32)
-            windows, ox, oy = crop_fn(jnp.asarray(images), boxes)
+            windows, ox, oy = crop_fn(jnp.asarray(images), boxes,
+                                      image_indices)
             shift = rows_shift(ox, oy, n_lm)
             x0 = align_mean(mean[None, :], boxes) - shift
             out = detect_cascade_fused(
@@ -675,7 +690,7 @@ class DetectionModel:
             return out + shift
 
         @jax.jit
-        def run_fused_from_landmarks(images, prior_rows):
+        def run_fused_from_landmarks(images, prior_rows, image_indices=None):
             # tracking init (model.hpp:147-157): x0 = the prior frame's
             # landmark row; the roi window is centred on its enclosing box
             rows = jnp.asarray(prior_rows, jnp.float32)
@@ -685,7 +700,8 @@ class DetectionModel:
                 (ys.min(1) + ys.max(1)) / 2.0 - roi / 2.0,
                 jnp.full(rows.shape[:1], float(roi)),
                 jnp.full(rows.shape[:1], float(roi))], axis=1)
-            windows, ox, oy = crop_fn(jnp.asarray(images), boxes)
+            windows, ox, oy = crop_fn(jnp.asarray(images), boxes,
+                                      image_indices)
             shift = rows_shift(ox, oy, n_lm)
             out = detect_cascade_fused(
                 windows, rows - shift, weights_perm, levels, cell_sizes,

@@ -118,6 +118,23 @@ def test_fused_cascade_close(trained):
     np.testing.assert_allclose(fused, mono, atol=0.75)
 
 
+def test_fused_image_indices_matches_expanded(trained):
+    # several faces sharing source frames: f(unique_stack, boxes,
+    # image_indices) must equal f(expanded_stack, boxes) bit-for-bit —
+    # only the window-crop gather differs, the kernel input is identical
+    model, stack, boxes = trained
+    stack128, _ = stack_images(
+        [np.asarray(stack[i]) for i in range(stack.shape[0])],
+        pad_width_to=128)
+    stack_u8 = stack128.astype(np.uint8)
+    idx = np.array([0, 2, 2, 4, 1, 0], np.int32)
+    bx = boxes[idx]
+    detect = model.make_fused_detector(roi=512, max_ied=145.0)
+    expanded = np.asarray(detect(stack_u8[idx], bx))
+    indexed = np.asarray(detect(stack_u8, bx, image_indices=idx))
+    np.testing.assert_array_equal(indexed, expanded)
+
+
 def test_scan_detector_matches_unrolled():
     # Uniform per-level HOG params: the lax.scan whole-cascade body is
     # shape-legal and must match the unrolled monolithic application
