@@ -127,7 +127,7 @@ def test_fused_image_indices_matches_expanded(trained):
         [np.asarray(stack[i]) for i in range(stack.shape[0])],
         pad_width_to=128)
     stack_u8 = stack128.astype(np.uint8)
-    idx = np.array([0, 2, 2, 4, 1, 0], np.int32)
+    idx = np.array([0, 2, 2, 4], np.int32)
     bx = boxes[idx]
     detect = model.make_fused_detector(roi=512, max_ied=145.0)
     expanded = np.asarray(detect(stack_u8[idx], bx))
