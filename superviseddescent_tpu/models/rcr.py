@@ -591,7 +591,8 @@ class DetectionModel:
 
     def make_fused_detector(self, roi: int,
                             max_ied: Optional[float] = None,
-                            init: str = "facebox"):
+                            init: str = "facebox",
+                            faces_per_step: int = 8):
         """Whole-cascade FUSED Pallas detector (ops/cascade_pallas.py):
         one kernel samples, HOG-describes and regresses all levels with
         the face window resident in VMEM — no per-level window
@@ -608,12 +609,20 @@ class DetectionModel:
         faces share source frames: images is then the unique-frame stack
         (n_img, H, W) and each window is sliced from its frame in one
         fused gather — no per-face (B, H, W) stack is materialised.
+        NOTE: an out-of-range index CLAMPS to the last frame (JAX
+        dynamic_slice/gather semantics, same as detect_batch) and yields
+        plausible-looking but wrong landmarks — validate indices
+        host-side when they come from untrusted input.
 
         Serving-fast numerics only (bf16 dots, sector binning, quantised
         patches) — the same class as make_stepped_detector(
         sampling='fast', window_sampler=True, hog_fast=True).
         Requires a square 128-aligned roi (the window crop) sized like
-        the stepped window path; max_ied as there.
+        the stepped window path; max_ied as there. faces_per_step is the
+        kernel's G (faces per grid step): 8 is the measured sweet spot
+        for RCR-22-sized models; large landmark counts (e.g. ibug-68)
+        may want a smaller G to bound the Mosaic compile time, which
+        scales with G*L unrolled patch samples.
         """
         from superviseddescent_tpu.ops.cascade_pallas import (
             SEG, detect_cascade_fused, permute_weights,
@@ -686,7 +695,8 @@ class DetectionModel:
             x0 = align_mean(mean[None, :], boxes) - shift
             out = detect_cascade_fused(
                 windows, x0, weights_perm, levels, cell_sizes,
-                p0.num_bins, dims, tuple(r_idx), tuple(l_idx))
+                p0.num_bins, dims, tuple(r_idx), tuple(l_idx),
+                faces_per_step=faces_per_step)
             return out + shift
 
         @jax.jit
@@ -705,7 +715,8 @@ class DetectionModel:
             shift = rows_shift(ox, oy, n_lm)
             out = detect_cascade_fused(
                 windows, rows - shift, weights_perm, levels, cell_sizes,
-                p0.num_bins, dims, tuple(r_idx), tuple(l_idx))
+                p0.num_bins, dims, tuple(r_idx), tuple(l_idx),
+                faces_per_step=faces_per_step)
             return out + shift
 
         return (run_fused_from_landmarks if init == "landmarks"

@@ -31,8 +31,11 @@ hangs the compiler, so x-gradients use slice+concat):
     factors);
   * the HOG tail (energies, factors, channel math, feature-row
     assembly) is BATCHED across the G faces of a grid step: per-face
-    (C, 128) cell histograms stack into (G*BR, 128) operands (BR = C
-    sublane-tile-padded), so the tail issues ~G x fewer VPU ops — the
+    (C, NS) cell histograms stack into (G*BR, NS) operands (BR = C
+    sublane-tile-padded; NS = nseg*128 with nseg = ceil(L/(128//C))
+    landmark segments — seg_packing — so models past 128 packed lanes,
+    e.g. COFW-29 at 5 cells or ibug-68, serve through this same
+    kernel), so the tail issues ~G x fewer VPU ops — the
     per-face variant measured op-issue-bound (PERF_NOTES stage
     ablation); the regressor weights are HOST-PERMUTED to the cx-major
     feature order (permute_weights), so each cell-x scatters one
@@ -67,12 +70,29 @@ from superviseddescent_tpu.ops.patches_pallas import (
 
 SEG = 128          # lane segment per landmark / per feature-row block
 
+
+def seg_packing(num_landmarks: int, num_cells: int):
+    """Multi-segment lane packing: (landmarks_per_segment, num_segments).
+
+    Each SEG(=128)-lane segment packs whole landmarks only (a landmark's
+    C cell-columns never straddle a segment boundary), so a segment
+    holds lps = SEG // C landmarks and a model needs ceil(L / lps)
+    segments. Landmark lm's cell-column cy lives at lane
+    (lm // lps)*SEG + (lm % lps)*C + cy; every HOG-tail operand and
+    feature-row block is nseg*SEG lanes wide. nseg == 1 reproduces the
+    original single-segment layout bit-for-bit (same lanes, same
+    compact column order)."""
+    lps = SEG // num_cells
+    return lps, -(-num_landmarks // lps)
+
 # Tag for the kernel's compact feature-column order, stamped into
 # mid-train checkpoints of fused-backend runs (io/checkpoint.py) so a
 # kernel column-order change can never silently scramble a resumed run.
 # BUMP THIS whenever permute_weights / compact_to_standard_rows change
-# their enumeration. v2 = cx-major segments ((cx*D+d) outer, (lm, cy)
-# inner, bias last); v1 was (d*C+cx)-major.
+# their enumeration. v2 = cx-major blocks ((cx*D+d) outer, (lm, cy)
+# inner, bias last); v1 was (d*C+cx)-major. The round-3 multi-segment
+# packing (seg_packing) keeps the v2 compact enumeration bit-for-bit
+# (segments concatenate in landmark order), so v2 stands.
 KERNEL_FEATURE_ORDER = "kernel-cx-v2"
 
 
@@ -88,9 +108,10 @@ def validate_fused_config(num_landmarks: int, num_cells: int,
     """Raise a clear error for configs the fused kernel cannot serve.
 
     Invariants baked into the kernel layout/math:
-      * lane packing: each face's per-cell-row histograms pack all
-        L landmarks x C cells into one SEG(=128)-lane segment
-        (permute_weights / the batched HOG tail index as lm*C + cy);
+      * lane packing: whole landmarks per SEG(=128)-lane segment
+        (seg_packing) — a landmark's C cell-columns must fit one
+        segment, so num_cells <= SEG; any landmark count is served via
+        multi-segment packing (nseg = ceil(L / (SEG // C)) segments);
       * the fast sector binning hard-codes 8 sectors -- tan(pi/8)
         comparisons -- i.e. num_bins == 4 (hog.c orientation assignment
         for O=4; the flat kernel falls back to argmax for other O,
@@ -105,12 +126,11 @@ def validate_fused_config(num_landmarks: int, num_cells: int,
             "fused kernel's sector orientation binning is specialised to "
             f"num_bins=4 (8 sectors); got num_bins={num_bins} — use the "
             "window/dense backend for other bin counts")
-    if num_landmarks * num_cells > SEG:
+    if num_cells > SEG:
         raise ValueError(
-            f"fused kernel packs num_landmarks*num_cells lanes per "
-            f"segment: {num_landmarks}*{num_cells} > {SEG} — at most "
-            f"{SEG // num_cells} landmarks fit at num_cells={num_cells}; "
-            "use the window/dense backend for larger models")
+            f"fused kernel packs a landmark's {num_cells} cell-columns "
+            f"into one {SEG}-lane segment: num_cells must be <= {SEG} — "
+            "use the window/dense backend for larger cell grids")
 
 
 def _block_rows(num_cells: int) -> int:
@@ -128,34 +148,36 @@ def _splat_consts(levels, cell_sizes, num_orientations: int,
     Returns numpy arrays (lanes COMPACT — patches are stored at stride S,
     not SEG; unaligned static lane stores are legal and the compact
     layout keeps both the VPU tiles and the splat-dot lane dims free of
-    2.3x padding waste):
+    2.3x padding waste). NS = nseg*SEG (seg_packing lane width):
       wx_all (R, S_max, C)        per-level 1-D x tents,
-      wy_all (R, L*S_max, SEG)    per-landmark block-diag y-tents
+      wy_all (R, L*S_max, NS)     per-landmark block-diag y-tents
                                   (rows packed at the level's own S),
       rx_all (2, G*BR, G*BR)      clamped x block-sum pair, block-diag
                                   over the G faces of a grid step (the
                                   batched HOG tail stacks faces on
                                   sublanes at BR-row blocks),
-      ry_all (2, SEG, SEG)        per-landmark block-diag y block-sums.
+      ry_all (2, NS, NS)          per-landmark block-diag y block-sums.
     """
     o = num_orientations
     l = num_landmarks
     r = len(levels)
     s_max = max(lv[0] for lv in levels)
     c = hog_num_cells(levels[0][0], cell_sizes[0])
+    lps, nseg = seg_packing(l, c)
+    lane0 = [(lm // lps) * SEG + (lm % lps) * c for lm in range(l)]
     del o  # x-tents are shared across orientation planes
     wx_all = np.zeros((r, s_max, c), np.float32)
-    wy_all = np.zeros((r, l * s_max, SEG), np.float32)
+    wy_all = np.zeros((r, l * s_max, nseg * SEG), np.float32)
     for li, (s, _, _, _) in enumerate(levels):
         w1 = _w1d(s, cell_sizes[li])
         wx_all[li, 0:s, :] = w1
         for lm in range(l):
-            wy_all[li, lm * s:lm * s + s, lm * c:(lm + 1) * c] = w1
+            wy_all[li, lm * s:lm * s + s, lane0[lm]:lane0[lm] + c] = w1
 
     br = _block_rows(c)
     gb = g_faces * br
     rx_all = np.zeros((2, gb, gb), np.float32)
-    ry_all = np.zeros((2, SEG, SEG), np.float32)
+    ry_all = np.zeros((2, nseg * SEG, nseg * SEG), np.float32)
     for ai, a in enumerate((-1, 0)):
         ry = np.zeros((c, c), np.float32)
         for cx in range(c):
@@ -165,7 +187,8 @@ def _splat_consts(levels, cell_sizes, num_orientations: int,
                     rx_all[ai, g * br + cx, g * br + cn] += 1.0
                 ry[cn, cx] += 1.0
         for lm in range(l):
-            ry_all[ai, lm * c:(lm + 1) * c, lm * c:(lm + 1) * c] = ry
+            ry_all[ai, lane0[lm]:lane0[lm] + c,
+                   lane0[lm]:lane0[lm] + c] = ry
     return wx_all, wy_all, rx_all, ry_all
 
 
@@ -175,22 +198,26 @@ def permute_weights(weights: np.ndarray, num_landmarks: int,
 
     Input rows follow the reference's Matlab flatten
     idx = lm*(D*C*C) + d*C*C + cx*C + cy, bias last
-    (adaptive_vlhog.hpp:166-183). Output (P, (D*C+1)*SEG): column
-    (cx*D+d)*SEG + lm*C + cy holds input row idx; bias at lane
-    D*C*SEG; pad lanes zero. The segment order is cx-MAJOR (cell-x
-    outer, descriptor-channel inner) so the batched HOG tail can write
-    one face-row's D*SEG feature lanes contiguously per cell-x.
+    (adaptive_vlhog.hpp:166-183). Output (P, (D*C*NSEG+1)*SEG), where
+    NSEG = seg_packing segments: column
+    ((cx*D+d)*NSEG + lm//lps)*SEG + (lm%lps)*C + cy holds input row
+    idx; bias at lane D*C*NSEG*SEG; pad lanes zero. The block order is
+    cx-MAJOR (cell-x outer, descriptor-channel inner, segment innermost)
+    so the batched HOG tail can write one face-row's D*NSEG*SEG feature
+    lanes contiguously per cell-x.
     """
     l, c, d = num_landmarks, num_cells, dims
+    lps, nseg = seg_packing(l, c)
     f, p = weights.shape
     assert f == l * d * c * c + 1, (f, l, d, c)
-    out = np.zeros((p, (d * c + 1) * SEG), weights.dtype)
+    out = np.zeros((p, (d * c * nseg + 1) * SEG), weights.dtype)
     dd, cx, lm, cy = np.meshgrid(np.arange(d), np.arange(c),
                                  np.arange(l), np.arange(c), indexing="ij")
     src = (lm * (d * c * c) + dd * c * c + cx * c + cy).ravel()
-    dst = ((cx * d + dd) * SEG + lm * c + cy).ravel()
+    dst = (((cx * d + dd) * nseg + lm // lps) * SEG
+           + (lm % lps) * c + cy).ravel()
     out[:, dst] = weights[src].T
-    out[:, d * c * SEG] = weights[f - 1]
+    out[:, d * c * nseg * SEG] = weights[f - 1]
     return out
 
 
@@ -334,17 +361,19 @@ def _hog_tail(bscr, cscr, fscr, rx_ref, ry_ref, *, g_faces, c, o_count,
     """Batched HOG normalisation + channel math for the G faces of one
     grid step: block energies, the four clamped block-sum factors, the
     Uoctti channel construction, and the feature-row scatter — all on
-    (G*BR, SEG) stacked operands instead of per-face (C, SEG) tiles.
+    (G*BR, NS) stacked operands instead of per-face (C, NS) tiles
+    (NS = nseg*SEG, the seg_packing lane width).
 
     bscr pad rows (C..BR of each face block) must be ZERO: they ride
     through the energy/factor dots (the block-diag rx has zero columns
     there, so zeros stay inert) and are never selected into fscr."""
     br = _block_rows(c)
     gb = g_faces * br
+    ns = bscr.shape[1]
     ha = [bscr[k * gb:(k + 1) * gb, :] for k in range(o_count)]
     hb = [bscr[(k + o_count) * gb:(k + o_count + 1) * gb, :]
           for k in range(o_count)]
-    energy = jnp.zeros((gb, SEG), jnp.float32)
+    energy = jnp.zeros((gb, ns), jnp.float32)
     for k in range(o_count):
         f_ = ha[k] + hb[k]
         energy = energy + f_ * f_
@@ -364,12 +393,12 @@ def _hog_tail(bscr, cscr, fscr, rx_ref, ry_ref, *, g_faces, c, o_count,
         factors.append(jax.lax.rsqrt(fs + 1e-4))
 
     # Uoctti channel math (identical to ops/hog_pallas_flat.py)
-    t_acc = [jnp.zeros((gb, SEG), jnp.float32) for _ in range(4)]
+    t_acc = [jnp.zeros((gb, ns), jnp.float32) for _ in range(4)]
     ch_a, ch_b, ch_c = [], [], []
     for k in range(o_count):
-        ha_s = jnp.zeros((gb, SEG), jnp.float32)
-        hb_s = jnp.zeros((gb, SEG), jnp.float32)
-        hc_s = jnp.zeros((gb, SEG), jnp.float32)
+        ha_s = jnp.zeros((gb, ns), jnp.float32)
+        hb_s = jnp.zeros((gb, ns), jnp.float32)
+        hc_s = jnp.zeros((gb, ns), jnp.float32)
         for i in range(4):
             hai = factors[i] * ha[k]
             hbi = factors[i] * hb[k]
@@ -389,7 +418,7 @@ def _hog_tail(bscr, cscr, fscr, rx_ref, ry_ref, *, g_faces, c, o_count,
     # selection dot per cell-x picks each face's row (the cx-major
     # feature order makes the destination lanes contiguous) ---- #
     for d in range(dims):
-        cscr[:, d * SEG:(d + 1) * SEG] = out_channels[d]
+        cscr[:, d * ns:(d + 1) * ns] = out_channels[d]
     cs = cscr[:, :]
     iota_g = jax.lax.broadcasted_iota(jnp.int32, (g_faces, gb), 0)
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (g_faces, gb), 1)
@@ -398,8 +427,8 @@ def _hog_tail(bscr, cscr, fscr, rx_ref, ry_ref, *, g_faces, c, o_count,
         rows = jax.lax.dot_general(
             sel, cs, (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)          # (G, D*SEG)
-        fscr[0:g_faces, cx * dims * SEG:(cx + 1) * dims * SEG] = rows
+            preferred_element_type=jnp.float32)          # (G, D*NS)
+        fscr[0:g_faces, cx * dims * ns:(cx + 1) * dims * ns] = rows
     # (the bias segment is written once by the caller)
 
 
@@ -410,10 +439,10 @@ def _cascade_kernel(x0_ref, win_ref, w0, w1, w2, w3,
                     dims, cell_sizes, r_idx, l_idx, probe=None):
     w_refs = [w0, w1, w2, w3][:len(levels)]
     c = hog_num_cells(levels[0][0], cell_sizes[0])
-    # bias segment: ones, once (every other segment is fully rewritten
-    # per level per face)
-    fscr[:, dims * c * SEG:(dims * c + 1) * SEG] = jnp.ones(
-        (g_faces, SEG), jnp.float32)
+    # bias segment (the LAST SEG lanes): ones, once (every other segment
+    # is fully rewritten per level per face)
+    kdim = fscr.shape[1]
+    fscr[:, kdim - SEG:kdim] = jnp.ones((g_faces, SEG), jnp.float32)
     # zero bscr once: its pad rows (C..BR of each face block) are never
     # stored to, and uninitialised VMEM could hold NaN patterns that the
     # tail's energy squares would otherwise propagate
@@ -461,8 +490,8 @@ def _features_kernel(x0_ref, win_ref, wx_ref, wy_ref, rx_ref, ry_ref,
     plays the fscr role of _hog_tail)."""
     s, w, wx, rel = level
     c = hog_num_cells(s, cell_size)
-    o_ref[:, dims * c * SEG:(dims * c + 1) * SEG] = jnp.ones(
-        (g_faces, SEG), jnp.float32)
+    kdim = o_ref.shape[1]
+    o_ref[:, kdim - SEG:kdim] = jnp.ones((g_faces, SEG), jnp.float32)
 
     @pl.when(pl.program_id(0) == 0)
     def _init_bscr():
@@ -493,7 +522,7 @@ def extract_features_fused(windows: jnp.ndarray,
                            faces_per_step: int = 8,
                            interpret: bool = False) -> jnp.ndarray:
     """Fused sample+HOG feature extraction for ONE cascade level (the
-    training hot loop): per-face windows in, (N, (D*C+1)*SEG) padded
+    training hot loop): per-face windows in, (N, (D*C*NSEG+1)*SEG) padded
     feature rows out, in the kernel's COLUMN ORDER (compact with
     compact_feature_columns; map weights back with
     compact_to_standard_rows). ~an order of magnitude faster than the
@@ -521,7 +550,8 @@ def extract_features_fused(windows: jnp.ndarray,
     lp = l * s
     c = hog_num_cells(s, cell_size)
     br = _block_rows(c)
-    kdim = (dims * c + 1) * SEG
+    _, nseg = seg_packing(l, c)
+    kdim = (dims * c * nseg + 1) * SEG
     wx_all, wy_all, rx_all, ry_all = _splat_consts(
         (tuple(level),), (cell_size,), num_orientations, l, g)
     kernel = functools.partial(
@@ -550,8 +580,9 @@ def extract_features_fused(windows: jnp.ndarray,
         scratch_shapes=[
             pltpu.VMEM((2 * num_orientations * s, lp), jnp.bfloat16),
             pltpu.VMEM((s, lp), jnp.bfloat16),
-            pltpu.VMEM((2 * num_orientations * g * br, SEG), jnp.float32),
-            pltpu.VMEM((g * br, dims * SEG), jnp.float32),
+            pltpu.VMEM((2 * num_orientations * g * br, nseg * SEG),
+                       jnp.float32),
+            pltpu.VMEM((g * br, dims * nseg * SEG), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -564,18 +595,27 @@ def extract_features_fused(windows: jnp.ndarray,
 
 def compact_feature_columns(feats_k: jnp.ndarray, num_landmarks: int,
                             num_cells: int, dims: int) -> jnp.ndarray:
-    """(N, (D*C+1)*SEG) padded kernel rows -> (N, F) compact features.
+    """(N, (D*C*NSEG+1)*SEG) padded kernel rows -> (N, F) compact features.
 
-    Column order stays the KERNEL order (segment-major: (cx, d) outer,
-    (lm, cy) inner), bias LAST — a pure static slice+concat, no gather.
-    The regularise_last_row bias exemption applies unchanged (bias is
-    still the final column), and MatrixNorm's ||AtA||_F is permutation-
-    invariant, so solves run directly on these features; map the solved
-    weights back to reference order with compact_to_standard_rows.
+    Column order stays the KERNEL order (block-major: (cx, d) outer,
+    (lm, cy) inner — segments concatenate in landmark order, so the
+    multi-segment packing changes nothing logically), bias LAST — a pure
+    static slice+concat, no gather. The regularise_last_row bias
+    exemption applies unchanged (bias is still the final column), and
+    MatrixNorm's ||AtA||_F is permutation-invariant, so solves run
+    directly on these features; map the solved weights back to reference
+    order with compact_to_standard_rows.
     """
     l, c, d = num_landmarks, num_cells, dims
-    segs = [feats_k[:, i * SEG:i * SEG + l * c] for i in range(d * c)]
-    bias = feats_k[:, d * c * SEG:d * c * SEG + 1]
+    lps, nseg = seg_packing(l, c)
+    segs = []
+    for i in range(d * c):
+        for sg in range(nseg):
+            n_lm = min(lps, l - sg * lps)
+            base = (i * nseg + sg) * SEG
+            segs.append(feats_k[:, base:base + n_lm * c])
+    bias_lane = d * c * nseg * SEG
+    bias = feats_k[:, bias_lane:bias_lane + 1]
     return jnp.concatenate(segs + [bias], axis=1)
 
 
@@ -614,7 +654,7 @@ def detect_cascade_fused(windows: jnp.ndarray,
 
     windows: (N, RY, RX) bf16 (uint8/f32 cast here) face windows.
     x0: (N, 2L) f32 initial landmark rows in WINDOW coordinates.
-    weights_perm: tuple of per-level (2L, (D*C+1)*SEG) arrays
+    weights_perm: tuple of per-level (2L, (D*C*NSEG+1)*SEG) arrays
       (permute_weights output), cast to bf16 here.
     levels: tuple of (S, W, WX, relative_patch_size) per level; W/WX are
       the sampler sub-window sides (WX == RX means full width).
@@ -643,7 +683,8 @@ def detect_cascade_fused(windows: jnp.ndarray,
     lp_max = l * s_max
     c = hog_num_cells(levels[0][0], cell_sizes[0])
     br = _block_rows(c)
-    kdim = (dims * c + 1) * SEG
+    _, nseg = seg_packing(l, c)
+    kdim = (dims * c * nseg + 1) * SEG
     kernel = functools.partial(
         _cascade_kernel, levels=tuple(levels), g_faces=g, ry_n=ry_n,
         rx_n=rx_n, num_landmarks=l, o_count=num_orientations, dims=dims,
@@ -681,8 +722,9 @@ def detect_cascade_fused(windows: jnp.ndarray,
                        jnp.bfloat16),
             pltpu.VMEM((s_max, lp_max), jnp.bfloat16),
             pltpu.VMEM((g, kdim), jnp.float32),
-            pltpu.VMEM((2 * num_orientations * g * br, SEG), jnp.float32),
-            pltpu.VMEM((g * br, dims * SEG), jnp.float32),
+            pltpu.VMEM((2 * num_orientations * g * br, nseg * SEG),
+                       jnp.float32),
+            pltpu.VMEM((g * br, dims * nseg * SEG), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

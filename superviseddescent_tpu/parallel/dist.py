@@ -83,15 +83,35 @@ def sharded_detect(model, images, faceboxes, mesh: Mesh,
     return run(images, faceboxes)
 
 
-def sharded_detect_fused(model, images, faceboxes, mesh: Mesh,
-                         roi: int, axis_name: str = "data",
-                         max_ied=None):
-    """The fused whole-cascade kernel (ops/cascade_pallas.py), data-
-    parallel over faces via shard_map: each device runs the kernel on its
+def make_sharded_fused_detector(model, mesh: Mesh, roi: int,
+                                axis_name: str = "data", max_ied=None):
+    """Build the fused whole-cascade kernel (ops/cascade_pallas.py) as a
+    data-parallel shard_map callable: each device runs the kernel on its
     face shard — zero cross-device communication (the cascade is
     embarrassingly parallel over faces), so throughput scales linearly
     with the mesh. Pallas kernels are opaque to GSPMD, hence the explicit
     shard_map rather than sharding annotations.
+
+    Returns ``f(images (B, H, W) batch-sharded, faceboxes (B, 4)) ->
+    (B, 2L)``; B must divide the mesh size. The callable is jitted and
+    reusable — the benchmark path measures it directly
+    (bench.py: "sharded fused" line).
+    """
+    detect = model.make_fused_detector(roi=roi, max_ied=max_ied)
+    run = jax.shard_map(
+        detect, mesh=mesh,
+        in_specs=(P(axis_name, None, None), P(axis_name, None)),
+        out_specs=P(axis_name, None),
+        # pallas_call does not annotate varying-across-mesh metadata
+        check_vma=False)
+    return jax.jit(run)
+
+
+def sharded_detect_fused(model, images, faceboxes, mesh: Mesh,
+                         roi: int, axis_name: str = "data",
+                         max_ied=None):
+    """One-shot wrapper over make_sharded_fused_detector: places the
+    inputs batch-sharded and runs the fused shard_map detect.
 
     images: (B, H, W) per-face stack; B must divide the mesh size.
     """
@@ -103,11 +123,6 @@ def sharded_detect_fused(model, images, faceboxes, mesh: Mesh,
     spec2 = NamedSharding(mesh, P(axis_name, None))
     images = jax.device_put(jnp.asarray(images), spec3)
     faceboxes = jax.device_put(jnp.asarray(faceboxes, jnp.float32), spec2)
-    detect = model.make_fused_detector(roi=roi, max_ied=max_ied)
-    run = jax.shard_map(
-        detect, mesh=mesh,
-        in_specs=(P(axis_name, None, None), P(axis_name, None)),
-        out_specs=P(axis_name, None),
-        # pallas_call does not annotate varying-across-mesh metadata
-        check_vma=False)
-    return jax.jit(run)(images, faceboxes)
+    run = make_sharded_fused_detector(model, mesh, roi,
+                                      axis_name=axis_name, max_ied=max_ied)
+    return run(images, faceboxes)

@@ -180,8 +180,11 @@ def test_window_sampler_unaligned_roi(trained):
 def test_fused_training_backend(trained):
     # patch_backend='fused' trains through the one-kernel extractor
     # (kernel-order features, weights mapped back to reference order);
-    # must reproduce the window backend's model to fast-mode noise
-    model_w, stack, boxes = trained
+    # compared against the WINDOW backend in the SAME fast numerics
+    # class so the tolerance is tight (VERDICT r2 item 7: the old
+    # comparison vs the exact-trained fixture needed a 2 px atol that
+    # could hide a feature-ordering regression)
+    model_x, stack, boxes = trained
     from superviseddescent_tpu.io import read_pts_landmarks
     pngs = sorted(glob.glob(os.path.join(DATA, "*.png")))
     gt_rows = np.stack([
@@ -192,24 +195,30 @@ def test_fused_training_backend(trained):
                                     (r[l:] - b[1]) / b[3] - 0.5])
                     for r, b in zip(gt_rows, boxes)],
                    axis=0).astype(np.float32)
-    cfg = RcrTrainConfig(
+    base = dict(
         hog_params=HOG, num_perturbations=2, seed=9,
         regularisation=Regulariser(RegularisationType.MatrixNorm, 0.1,
                                    False),
-        roi=512, patch_backend="fused", sampling="fast")
+        roi=512, sampling="fast", hog_fast=True)
     m_f = train_rcr(stack, gt_rows, boxes, LANDMARKS, RIGHT_EYE, LEFT_EYE,
-                    mean, cfg)
-    for rf, rw in zip(m_f.sdo.regressors, model_w.sdo.regressors):
-        # trained fixture used exact dense sampling; fused is the fast
-        # class -> small weight deltas, same structure
+                    mean, RcrTrainConfig(patch_backend="fused", **base))
+    m_w = train_rcr(stack, gt_rows, boxes, LANDMARKS, RIGHT_EYE, LEFT_EYE,
+                    mean, RcrTrainConfig(patch_backend="window", **base))
+    for rf, rw in zip(m_f.sdo.regressors, m_w.sdo.regressors):
+        # same numerics class, different extractors -> tiny weight deltas
         dw = np.abs(np.asarray(rf.weights) - np.asarray(rw.weights))
-        assert dw.mean() < 5e-3, dw.mean()
+        assert dw.mean() < 1e-3, dw.mean()
     import jax.numpy as jnp
     pred = np.asarray(m_f.detect_batch(
         stack, boxes, image_indices=jnp.arange(len(boxes))))
-    ref = np.asarray(model_w.detect_batch(
+    ref = np.asarray(m_w.detect_batch(
         stack, boxes, image_indices=jnp.arange(len(boxes))))
-    np.testing.assert_allclose(pred, ref, atol=2.0)  # px, fast-vs-exact train
+    np.testing.assert_allclose(pred, ref, atol=0.75)  # px, same-class train
+    # and the fused-trained model still fits the exact-trained fixture's
+    # predictions to fast-vs-exact class deltas (sanity vs round-2 bound)
+    ref_exact = np.asarray(model_x.detect_batch(
+        stack, boxes, image_indices=jnp.arange(len(boxes))))
+    np.testing.assert_allclose(pred, ref_exact, atol=2.0)
 
 
 def test_feature_order_mappings_consistent():
@@ -241,20 +250,25 @@ def test_feature_order_mappings_consistent():
 
 def test_fused_config_validation():
     # the fused kernel's baked-in invariants must raise clearly, not
-    # produce silent garbage (sector binning is num_bins=4-only; lane
-    # packing caps num_landmarks*num_cells at 128)
+    # produce silent garbage (sector binning is num_bins=4-only); any
+    # landmark count is served via multi-segment packing (seg_packing)
     from superviseddescent_tpu.ops.cascade_pallas import (
-        validate_fused_config)
+        seg_packing, validate_fused_config)
     from superviseddescent_tpu.ops.hog import HogVariant
 
     validate_fused_config(22, 5, 4, HogVariant.Uoctti)     # RCR-22: fine
     validate_fused_config(25, 5, 4, HogVariant.Uoctti)     # 125 lanes: fine
+    validate_fused_config(29, 5, 4, HogVariant.Uoctti)     # 2 segments
+    validate_fused_config(68, 5, 4, HogVariant.Uoctti)     # 3 segments
+    assert seg_packing(22, 5) == (25, 1)
+    assert seg_packing(29, 5) == (25, 2)
+    assert seg_packing(68, 5) == (25, 3)
     with pytest.raises(ValueError, match="num_bins=4"):
         validate_fused_config(22, 5, 6, HogVariant.Uoctti)
     with pytest.raises(ValueError, match="Uoctti"):
         validate_fused_config(22, 5, 4, HogVariant.DalalTriggs)
-    with pytest.raises(ValueError, match="at most 25 landmarks"):
-        validate_fused_config(68, 5, 4, HogVariant.Uoctti)  # full ibug-68
+    with pytest.raises(ValueError, match="num_cells"):
+        validate_fused_config(1, 129, 4, HogVariant.Uoctti)
 
     # the model-level entry points hit the same validation
     from superviseddescent_tpu.models import HogParams, HogTransform
@@ -269,10 +283,10 @@ def test_cofw29_scale_model_end_to_end():
     # The reference ships a second model family at 29 landmarks
     # (face_landmarks_model_rcr_cofw_29.bin, .MISSING_LARGE_BLOBS). The
     # framework must not be specialised to 22: train a 29-landmark model
-    # (29 ibug ids standing in for the COFW annotation) and serve it
-    # through both the exact monolithic path and the fused cascade
-    # kernel (29 landmarks x 3 cells = 87 lanes fits the kernel's
-    # 128-lane packing).
+    # (29 ibug ids standing in for the COFW annotation) at the flagship
+    # FIVE-cell config (29 x 5 = 145 packed lanes -> 2 seg_packing
+    # segments) and serve it through both the exact monolithic path and
+    # the fused cascade kernel.
     import jax.numpy as jnp
     ids29 = [str(i) for i in
              (3, 9, 15, 18, 20, 22, 23, 25, 27, 28, 31, 32, 34, 36,
@@ -291,8 +305,10 @@ def test_cofw29_scale_model_end_to_end():
     mean = np.mean([np.concatenate([(r[:l] - b[0]) / b[2] - 0.5,
                                     (r[l:] - b[1]) / b[3] - 0.5])
                     for r, b in zip(gt_rows, boxes)], axis=0).astype(np.float32)
+    hog5 = (HogParams(HogVariant.Uoctti, 5, 6, 4, 0.7),
+            HogParams(HogVariant.Uoctti, 5, 4, 4, 0.4))
     cfg = RcrTrainConfig(
-        hog_params=HOG, num_perturbations=2, seed=3,
+        hog_params=hog5, num_perturbations=2, seed=3,
         regularisation=Regulariser(RegularisationType.MatrixNorm, 0.1, False))
     model = train_rcr(stack, gt_rows, boxes, ids29, RIGHT_EYE, LEFT_EYE,
                       mean, cfg)
@@ -315,6 +331,67 @@ def test_cofw29_scale_model_end_to_end():
         pad_width_to=128)
     fused = np.asarray(model.make_fused_detector(roi=512, max_ied=145.0)(
         stack128.astype(np.uint8), boxes))
+    np.testing.assert_allclose(fused, mono, atol=0.75)
+
+
+def test_fused_68_landmark_multisegment():
+    # Full ibug-68 at 5 cells = 340 packed lanes -> 3 seg_packing
+    # segments: the fused kernel must reproduce the exact monolithic
+    # path. Training a 68-lm model is too slow for the suite, so ONE
+    # cascade level runs small random weights — the GEMV multiplies
+    # every feature lane, so wrong multi-segment packing (feature order,
+    # y-tent/block-sum lanes, bias placement) shows up as multi-pixel
+    # landmark deltas. (One level only: random weights do not contract
+    # like a trained cascade, so a second level would amplify legitimate
+    # fast-class rounding through the integer patch-origin rounding; the
+    # trained COFW-29 test covers multi-level multi-segment.)
+    import jax.numpy as jnp
+    from superviseddescent_tpu.core.cascade import (
+        SupervisedDescentOptimiser)
+    from superviseddescent_tpu.core.regressor import LinearRegressor
+    from superviseddescent_tpu.models import DetectionModel
+    from superviseddescent_tpu.models.rcr import (
+        InterEyeDistanceNormalisation)
+
+    ids68 = [str(i) for i in range(1, 69)]
+    pngs = sorted(glob.glob(os.path.join(DATA, "*.png")))[:2]
+    images, rows = [], []
+    for png in pngs:
+        lms = read_pts_landmarks(png.replace(".png", ".pts"))
+        images.append(load_gray_image(png))
+        rows.append(to_row(lms.filter(ids68)))
+    stack, _ = stack_images(images)
+    gt_rows = np.stack(rows)
+    boxes = np.stack([gt_facebox(to_landmark_collection(r, ids68))
+                      for r in gt_rows]).astype(np.float32)
+    l = len(ids68)
+    mean = np.mean([np.concatenate([(r[:l] - b[0]) / b[2] - 0.5,
+                                    (r[l:] - b[1]) / b[3] - 0.5])
+                    for r, b in zip(gt_rows, boxes)],
+                   axis=0).astype(np.float32)
+    hog5 = (HogParams(HogVariant.Uoctti, 5, 6, 4, 0.7),)
+    rng = np.random.default_rng(7)
+    f = l * 16 * 25 + 1
+    # sigma sized for few-px updates: the cascade multiplies the GEMV
+    # output by the IED (~100 px here), so 1e-3 * sqrt(sum feat^2) * IED
+    # lands at ~1-3 px per level — enough signal, no divergence
+    regs = [LinearRegressor(
+        weights=jnp.asarray(rng.normal(0, 1e-3, (f, 2 * l))
+                            .astype(np.float32)),
+        regulariser=Regulariser(RegularisationType.MatrixNorm, 0.1, False))
+        for _ in hog5]
+    norm = InterEyeDistanceNormalisation(ids68, RIGHT_EYE, LEFT_EYE)
+    model = DetectionModel(SupervisedDescentOptimiser(regs, norm),
+                           mean, ids68, hog5, RIGHT_EYE, LEFT_EYE)
+
+    mono = np.asarray(model.detect_batch(
+        stack, boxes, image_indices=jnp.arange(len(boxes))))
+    stack128, _ = stack_images(
+        [np.asarray(stack[i]) for i in range(stack.shape[0])],
+        pad_width_to=128)
+    fused = np.asarray(model.make_fused_detector(
+        roi=512, max_ied=145.0, faces_per_step=2)(
+            stack128.astype(np.uint8), boxes))
     np.testing.assert_allclose(fused, mono, atol=0.75)
 
 

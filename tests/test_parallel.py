@@ -161,3 +161,28 @@ def test_sharded_fused_detect_matches():
     sharded = np.asarray(sharded_detect_fused(
         model, stack128, boxes8, mesh, roi=512, max_ied=145.0))
     np.testing.assert_allclose(sharded, single, atol=1e-4)
+
+
+def test_sharded_fused_multisegment_matches():
+    """Multi-segment lane packing (29 landmarks x 5 cells = 145 lanes ->
+    2 seg_packing segments) under shard_map must match the single-device
+    fused result exactly (pure data parallelism)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from __graft_entry__ import _tiny_model
+    from superviseddescent_tpu.parallel.dist import sharded_detect_fused
+
+    model = _tiny_model(num_landmarks=29, levels=2, seed=4, hog_cells=5)
+    rng = np.random.default_rng(6)
+    batch = 8
+    imgs = rng.integers(0, 256, size=(batch, 128, 128)).astype(np.float32)
+    boxes = np.tile(np.float32([40, 40, 48, 48]), (batch, 1))
+
+    single = np.asarray(model.make_fused_detector(roi=128)(imgs, boxes))
+    assert np.isfinite(single).all()
+    mesh = make_mesh()
+    sharded = np.asarray(sharded_detect_fused(
+        model, imgs, boxes, mesh, roi=128))
+    np.testing.assert_allclose(sharded, single, atol=1e-4)
