@@ -130,6 +130,10 @@ def main(argv=None):
     p.add_argument("--sampling", default="exact",
                    choices=["exact", "high", "fast"],
                    help="MXU precision of patch sampling")
+    p.add_argument("--mirror", action="store_true",
+                   help="horizontal-flip augmentation: double the training"
+                        " set with mirrored images + mirror-permuted"
+                        " ground truth (ibug-68 correspondence)")
     args = p.parse_args(argv)
 
     from superviseddescent_tpu.utils.cache import enable_compilation_cache
@@ -173,14 +177,27 @@ def main(argv=None):
         feature_chunk_size=args.feature_chunk_size,
         roi=args.roi,
         patch_backend=args.patch_backend,
-        sampling=args.sampling)
+        sampling=args.sampling,
+        mirror_augmentation=args.mirror)
     mesh = None
     if args.mesh:
         from superviseddescent_tpu.parallel import make_mesh
         mesh = make_mesh(args.mesh)
     right_idx, left_idx = resolve_eye_indices(model_landmarks, right_ids,
                                               left_ids)
-    gt_aug = np.repeat(gt_rows, args.num_perturbations + 1, axis=0)
+    gt_rows_cb = gt_rows
+    if args.mirror:
+        # train_rcr appends the flipped faces after the originals; mirror
+        # the callback ground truth the same way (same formula)
+        from superviseddescent_tpu.utils.landmarks import mirror_permutation
+        perm = mirror_permutation(model_landmarks)
+        wpx = stack.shape[2]
+        l = len(model_landmarks)
+        gt_flip = np.concatenate(
+            [(wpx - 1.0) - gt_rows[:, :l][:, perm],
+             gt_rows[:, l:][:, perm]], axis=1)
+        gt_rows_cb = np.concatenate([gt_rows, gt_flip])
+    gt_aug = np.repeat(gt_rows_cb, args.num_perturbations + 1, axis=0)
 
     def on_epoch(x):
         x = np.asarray(x)

@@ -124,6 +124,12 @@ class RcrTrainConfig:
     # (~0.4% descriptor noise — same class as sampling='fast'); with the
     # window backend it also enables the transposed sampler->HOG hand-off
     hog_fast: bool = False
+    # horizontal-flip augmentation: double the training set with mirrored
+    # images + mirror-permuted ground truth (utils/landmarks.py::
+    # mirror_permutation — the landmark-level twin of the reference's HOG
+    # flip permutation, hog.c:233-268; the reference's own accuracy lever
+    # beyond facebox perturbation, rcr-train.cpp:386-434)
+    mirror_augmentation: bool = False
 
 
 def _crop_face_windows(images, image_indices, faceboxes, roi):
@@ -205,6 +211,30 @@ def train_rcr(images, groundtruth_rows, faceboxes,
         image_indices = jnp.arange(b, dtype=jnp.int32)
     else:
         image_indices = jnp.asarray(image_indices, jnp.int32)
+
+    if config.mirror_augmentation:
+        # double the set with horizontally flipped copies: flipped image
+        # i+n_img is images[i] mirrored; its ground truth is the mirror-
+        # permuted row reflected about the (padded) stack width. The
+        # flipped stack's left-side zero padding behaves exactly like the
+        # reference's copyMakeBorder zero pad for border patches.
+        from superviseddescent_tpu.utils.landmarks import mirror_permutation
+        perm = mirror_permutation(model_landmarks)
+        imgs = jnp.asarray(images)
+        n_img, _, wpx = imgs.shape
+        lm = gt.shape[1] // 2
+        images = jnp.concatenate([imgs, imgs[:, :, ::-1]])
+        gt_flip = jnp.concatenate(
+            [(wpx - 1.0) - gt[:, :lm][:, perm], gt[:, lm:][:, perm]],
+            axis=1)
+        gt = jnp.concatenate([gt, gt_flip])
+        fb = jnp.asarray(faceboxes, jnp.float32)
+        faceboxes = jnp.concatenate([
+            fb, jnp.stack([wpx - fb[:, 0] - fb[:, 2], fb[:, 1],
+                           fb[:, 2], fb[:, 3]], axis=1)])
+        image_indices = jnp.concatenate(
+            [image_indices, image_indices + n_img])
+        b = gt.shape[0]
 
     l = gt.shape[1] // 2
     sample_shift = None

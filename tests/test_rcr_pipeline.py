@@ -315,3 +315,74 @@ def test_train_rcr_roi_windows_match_full_images():
     p_full = np.asarray(full.detect_batch(stack, boxes))
     p_roi = np.asarray(roi.detect_batch(stack, boxes))
     np.testing.assert_allclose(p_roi, p_full, atol=0.2)
+
+
+def test_mirror_permutation_properties():
+    # involution + self-mapped midline ids; one-sided sets must raise
+    from superviseddescent_tpu.utils.landmarks import mirror_permutation
+    ids22 = [str(i) for i in (9, 31, 32, 36, 37, 38, 39, 40, 41, 42, 43,
+                              44, 45, 46, 47, 48, 49, 52, 55, 58, 63, 67)]
+    for ids in (SMALL_LANDMARKS, ids22, [str(i) for i in range(1, 69)]):
+        p = mirror_permutation(ids)
+        np.testing.assert_array_equal(p[p], np.arange(len(ids)))
+        for i, n in enumerate(ids):   # midline ids map to themselves
+            if n in ("9", "31", "52", "58", "63", "67"):
+                assert p[i] == i, n
+    # "37" (right outer eye corner) without its partner "46"
+    with pytest.raises(ValueError, match="mirror-closed"):
+        mirror_permutation(["9", "37"])
+
+
+@needs_data
+def test_mirror_augmentation_end_to_end():
+    # mirror_augmentation doubles the set with flipped images +
+    # mirror-permuted ground truth (hog.c:233-268 is the reference's
+    # feature-space twin). The trained model must fit the ORIGINAL faces
+    # and, because the training set is now symmetric, fit the FLIPPED
+    # faces equally well.
+    from superviseddescent_tpu.utils.landmarks import mirror_permutation
+    stack, gt_rows = load_small_dataset()
+    boxes = np.stack([
+        gt_facebox(to_landmark_collection(r, SMALL_LANDMARKS))
+        for r in gt_rows]).astype(np.float32)
+    l = len(SMALL_LANDMARKS)
+
+    def to_box_space(row, box):
+        x, y, w, h = box
+        return np.concatenate([(row[:l] - x) / w - 0.5,
+                               (row[l:] - y) / h - 0.5])
+    mean = np.mean([to_box_space(r, b) for r, b in zip(gt_rows, boxes)],
+                   axis=0).astype(np.float32)
+    from superviseddescent_tpu import Regulariser, RegularisationType
+    cfg = RcrTrainConfig(
+        hog_params=SMALL_HOG, num_perturbations=2, seed=5,
+        mirror_augmentation=True,
+        regularisation=Regulariser(RegularisationType.MatrixNorm, 0.1,
+                                   regularise_last_row=False))
+    model = train_rcr(stack, gt_rows, boxes, SMALL_LANDMARKS,
+                      RIGHT_EYE, LEFT_EYE, mean, cfg)
+    right_idx, left_idx = resolve_eye_indices(
+        SMALL_LANDMARKS, RIGHT_EYE, LEFT_EYE)
+    init_rows = np.asarray(align_mean(mean[None, :], boxes))
+    init_err = float(np.mean(np.asarray(normalised_landmark_errors(
+        init_rows, gt_rows, right_idx, left_idx))))
+
+    pred = np.asarray(model.detect_batch(stack, boxes))
+    err = float(np.mean(np.asarray(normalised_landmark_errors(
+        pred, gt_rows, right_idx, left_idx))))
+    assert err < init_err / 2, (err, init_err)
+
+    # flipped faces: same model, flipped stack/boxes/gt (the formula
+    # train_rcr uses internally)
+    perm = mirror_permutation(SMALL_LANDMARKS)
+    wpx = stack.shape[2]
+    flipped = np.asarray(stack)[:, :, ::-1]
+    gt_flip = np.concatenate(
+        [(wpx - 1.0) - gt_rows[:, :l][:, perm], gt_rows[:, l:][:, perm]],
+        axis=1)
+    boxes_flip = np.stack([wpx - boxes[:, 0] - boxes[:, 2], boxes[:, 1],
+                           boxes[:, 2], boxes[:, 3]], axis=1)
+    pred_f = np.asarray(model.detect_batch(flipped, boxes_flip))
+    err_f = float(np.mean(np.asarray(normalised_landmark_errors(
+        pred_f, gt_flip, right_idx, left_idx))))
+    assert err_f < init_err / 2, (err_f, init_err)
