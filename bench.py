@@ -133,13 +133,17 @@ def bench_train_300w(stack, gt_rows, boxes, model_landmarks,
 
 
 def bench_heldout(stack, gt_rows, boxes, model_landmarks,
-                  right_ids, left_ids, mean):
+                  right_ids, left_ids, mean, mirror=False):
     """Leave-one-out held-out IOD error over the 5 bundled LFPW images
     (the reference evaluates a held-out test set, rcr-train.cpp:474-538;
     the train-set number alone is optimistic). One compiled train program
-    serves all folds (same shapes; folds select images via image_indices),
+    serves all folds (every fold's 4-image slice has the same shapes),
     and one set of per-level jitted eval programs scores all 5 held-out
-    faces at once with per-fold weight stacks."""
+    faces at once with per-fold weight stacks.
+
+    mirror=True additionally doubles each fold's 4 train faces with
+    horizontal-flip augmentation (RcrTrainConfig.mirror_augmentation —
+    the reference's own accuracy lever class, rcr-train.cpp:386-434)."""
     import functools
 
     import jax
@@ -156,9 +160,9 @@ def bench_heldout(stack, gt_rows, boxes, model_landmarks,
     model0 = None
     for k in range(n):
         tr = np.array([i for i in range(n) if i != k], np.int32)
-        mk = train_rcr(stack, gt_rows[tr], boxes[tr], model_landmarks,
+        mk = train_rcr(stack[tr], gt_rows[tr], boxes[tr], model_landmarks,
                        right_ids, left_ids, mean,
-                       RcrTrainConfig(seed=0), image_indices=tr)
+                       RcrTrainConfig(seed=0, mirror_augmentation=mirror))
         model0 = model0 or mk
         fold_weights.append([np.asarray(r.weights)
                              for r in mk.sdo.regressors])
@@ -189,20 +193,25 @@ def bench_heldout(stack, gt_rows, boxes, model_landmarks,
     L = len(model_landmarks)
     err = np.hypot(pred[:, :L] - gt_rows[:, :L],
                    pred[:, L:] - gt_rows[:, L:]).mean(axis=1) / ied
-    log(f"leave-one-out held-out IOD error: mean {err.mean():.4f} "
-        f"per-fold {[f'{e:.4f}' for e in err]}")
-    return float(err.mean())
+    tag = "mirror-augmented" if mirror else "no-mirror"
+    log(f"leave-one-out held-out IOD error ({tag}): mean {err.mean():.4f} "
+        f"worst {err.max():.4f} per-fold {[f'{e:.4f}' for e in err]}")
+    return float(err.mean()), float(err.max())
 
 
 def bench_mesh(n_dev, stack, gt_rows, boxes, model_landmarks,
-               right_ids, left_ids, mean, model):
+               right_ids, left_ids, mean, model, max_ied):
     """Data-parallel path on an n-device mesh: train_rcr(mesh=...) +
-    sharded batched detect (VERDICT r1 item 10 — zero-code multi-chip)."""
+    sharded batched detect + the FUSED shard_map detect with fenced
+    throughput (VERDICT r1 item 10 / r2 item 3 — zero-code multi-chip)."""
+    import jax
     import jax.numpy as jnp
 
     from superviseddescent_tpu.models import RcrTrainConfig, train_rcr
-    from superviseddescent_tpu.parallel import make_mesh
+    from superviseddescent_tpu.parallel import (
+        make_mesh, make_sharded_fused_detector)
     from superviseddescent_tpu.parallel.dist import sharded_detect
+    from superviseddescent_tpu.utils.timing import measure
 
     mesh = make_mesh(n_dev)
     # sharded_detect shards the batch axis over the mesh — round the
@@ -219,6 +228,26 @@ def bench_mesh(n_dev, stack, gt_rows, boxes, model_landmarks,
     assert np.isfinite(np.asarray(out)).all()
     log(f"mesh={n_dev}: dp train + sharded detect OK "
         f"({out.shape[0]} faces over {n_dev} device(s))")
+
+    # fused shard_map throughput at a serving batch (128-padded width
+    # for the fused crop; batch a device multiple). 256 u8 frames keep
+    # the host->device upload through the tunnel to ~100 MB — the
+    # per-face expanded stack must be batch-sharded, so the unique-image
+    # on-device expansion trick of the main bench does not apply here.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    batch = max(256, n_dev) // n_dev * n_dev
+    selb = (np.arange(batch) % stack.shape[0]).astype(np.int32)
+    imgs = jax.device_put(
+        jnp.asarray(np.asarray(stack, np.uint8)[selb]),
+        NamedSharding(mesh, P("data", None, None)))
+    bxs = jax.device_put(jnp.asarray(boxes[selb]),
+                         NamedSharding(mesh, P("data", None)))
+    detect_sf = make_sharded_fused_detector(model, mesh, roi=512,
+                                            max_ied=max_ied)
+    detect_sf(imgs, bxs).block_until_ready()
+    dt, _ = measure(detect_sf, imgs, bxs, reps=20)
+    log(f"mesh={n_dev}: sharded FUSED detect {dt*1e3:.2f} ms / {batch} "
+        f"faces -> {batch/dt:.0f} faces/sec")
 
 
 def main():
@@ -338,12 +367,33 @@ def main():
                        reps=30)
     log(f"fused indexed:  {dt_fi*1e3:.2f} ms / {batch} faces "
         f"-> {batch/dt_fi:.0f} faces/sec")
-    dt = min(dt_st, dt_fu, dt_fi)
+    dt, best = min([(dt_st, "stepped"), (dt_fu, "fused"),
+                    (dt_fi, "fused+image_indices")])
     faces_per_sec = batch / dt
-    best = {dt_st: "stepped", dt_fu: "fused",
-            dt_fi: "fused+image_indices"}[dt]
     log(f"best path: {best} "
         f"-> {faces_per_sec:.0f} faces/sec on {len(devices)} device(s)")
+
+    # ---- sharded fused path on real silicon (VERDICT r2 item 3):
+    # shard_map(fused kernel) on a 1-device mesh must equal the
+    # unsharded fused output and run at the same throughput ---- #
+    from superviseddescent_tpu.parallel import (
+        make_mesh, make_sharded_fused_detector)
+    mesh1 = make_mesh(1)
+    detect_sf = make_sharded_fused_detector(model, mesh1, roi=512,
+                                            max_ied=max_ied)
+    out_sf = detect_sf(bench_images, bench_boxes)
+    assert np.array_equal(np.asarray(out_sf), np.asarray(out_fused)), \
+        "sharded fused (mesh=1) diverged from the unsharded fused output"
+    dt_sf, _ = measure(detect_sf, bench_images, bench_boxes, reps=30)
+    log(f"sharded fused (mesh=1): {dt_sf*1e3:.2f} ms / {batch} faces "
+        f"-> {batch/dt_sf:.0f} faces/sec (equals unsharded output)")
+
+    # ---- batch-1 fit latency (the tracking scenario, VERDICT r2
+    # item 6; reference prints this metric, rcr-track.cpp:146-166) ---- #
+    img1, box1 = bench_images[:1], bench_boxes[:1]
+    detect_fused(img1, box1).block_until_ready()     # compile b=1
+    dt_b1, _ = measure(detect_fused, img1, box1, reps=50)
+    log(f"fused batch-1 fit latency: {dt_b1*1e3:.3f} ms/frame")
 
     # ---------------- train seconds + held-out accuracy ---------------- #
     right_ids, left_ids, mean = load_train_meta(model_landmarks)
@@ -351,14 +401,20 @@ def main():
     if "--skip-train" not in sys.argv:
         train_sec = bench_train_300w(stack, gt_rows, boxes, model_landmarks,
                                      right_ids, left_ids, mean)
-    heldout = None
+    heldout = heldout_worst = heldout_nomirror = None
     if "--skip-heldout" not in sys.argv:
-        heldout = bench_heldout(stack, gt_rows, boxes, model_landmarks,
-                                right_ids, left_ids, mean)
+        heldout_nomirror, _ = bench_heldout(
+            stack, gt_rows, boxes, model_landmarks,
+            right_ids, left_ids, mean, mirror=False)
+        # flip augmentation (VERDICT r2 item 2): the headline held-out
+        # number is the mirror-augmented one
+        heldout, heldout_worst = bench_heldout(
+            stack, gt_rows, boxes, model_landmarks,
+            right_ids, left_ids, mean, mirror=True)
     if "--mesh" in sys.argv:
         n_dev = int(sys.argv[sys.argv.index("--mesh") + 1])
         bench_mesh(n_dev, stack, gt_rows, boxes, model_landmarks,
-                   right_ids, left_ids, mean, model)
+                   right_ids, left_ids, mean, model, max_ied)
 
     out = {
         "metric": "rcr22_faces_per_sec",
@@ -367,10 +423,14 @@ def main():
         "vs_baseline": round(faces_per_sec / 10000.0, 4),
         "trainset_iod_err": round(err, 4),
     }
+    out["latency_ms_b1"] = round(dt_b1 * 1e3, 3)
+    out["sharded_fused_mesh1_faces_per_sec"] = round(batch / dt_sf, 1)
     if train_sec is not None:
         out["train_sec_300w"] = round(train_sec, 2)
     if heldout is not None:
         out["heldout_iod_err"] = round(heldout, 4)
+        out["heldout_iod_err_worst_fold"] = round(heldout_worst, 4)
+        out["heldout_iod_err_nomirror"] = round(heldout_nomirror, 4)
     print(json.dumps(out))
 
 
