@@ -37,7 +37,7 @@ line-by-line against cascadedetect.cpp in io/haar.py.
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -118,8 +118,37 @@ def _flatten_masks(*pieces):
     """Ravel + concatenate every pyramid scale's mask bands into ONE
     buffer so the host needs a single readback for the whole pyramid.
     Recompiles per distinct shape tuple — shapes are 64-bucketed, so one
-    compile per image-size class."""
+    compile per image-size class. (Fallback path: the serving path is
+    _compact_candidates, whose readback is K indices, not mask bands.)"""
     return jnp.concatenate([p.reshape(-1) for p in pieces])
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _compact_candidates(valids, k: int, *pieces):
+    """Device-side candidate extraction: mask each pyramid piece to its
+    valid (rows, cols) region (the bucketed evaluation pads beyond the
+    true scaled size — padding windows must never become detections),
+    flatten everything, and compact the passing flat indices to a fixed
+    k-slot buffer. Returns one (k+1,) int32 array [idx_0..idx_{k-1},
+    total_count] so the host needs a SINGLE few-KB readback for the
+    whole pyramid — the mask-band readback plus host np.nonzero used to
+    dominate detect() latency (~50 of ~80 ms at 600x512,
+    docs/PERF_NOTES.md). Slots past the count hold -1; if count > k the
+    host falls back to the full-mask readback (correctness over speed).
+
+    valids: (n_pieces, 2) int32 [valid_rows, valid_cols] per piece.
+    """
+    flats = []
+    for i, p in enumerate(pieces):
+        ih = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+        iw = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+        m = jnp.logical_and(p, jnp.logical_and(ih < valids[i, 0],
+                                               iw < valids[i, 1]))
+        flats.append(m.reshape(-1))
+    flat = jnp.concatenate(flats)
+    count = jnp.sum(flat.astype(jnp.int32))
+    (idx,) = jnp.nonzero(flat, size=k, fill_value=-1)
+    return jnp.concatenate([idx.astype(jnp.int32), count[None]])
 
 
 @functools.partial(jax.jit, static_argnames=("sh", "sw", "bh", "bw"))
@@ -165,17 +194,23 @@ def group_rectangles(boxes: np.ndarray, min_neighbors: int,
             i = parent[i]
         return i
 
+    # pairwise similarity vectorised (numpy broadcasting): the former
+    # O(n^2) Python loop cost ~10 ms at a few hundred candidates and sat
+    # directly on the detect() latency path. Same predicate, same union
+    # order (upper triangle, row-major).
     b = np.asarray(boxes, np.float32)
-    for i in range(n):
-        for j in range(i + 1, n):
-            delta = eps * (min(b[i, 2], b[j, 2]) + min(b[i, 3], b[j, 3])) * 0.5
-            if (abs(b[i, 0] - b[j, 0]) <= delta
-                    and abs(b[i, 1] - b[j, 1]) <= delta
-                    and abs(b[i, 0] + b[i, 2] - b[j, 0] - b[j, 2]) <= delta
-                    and abs(b[i, 1] + b[i, 3] - b[j, 1] - b[j, 3]) <= delta):
-                pi, pj = find(i), find(j)
-                if pi != pj:
-                    parent[pj] = pi
+    delta = eps * 0.5 * (np.minimum(b[:, 2:3], b[None, :, 2])
+                         + np.minimum(b[:, 3:4], b[None, :, 3]))
+    x2 = b[:, 0] + b[:, 2]
+    y2 = b[:, 1] + b[:, 3]
+    sim = ((np.abs(b[:, 0:1] - b[None, :, 0]) <= delta)
+           & (np.abs(b[:, 1:2] - b[None, :, 1]) <= delta)
+           & (np.abs(x2[:, None] - x2[None, :]) <= delta)
+           & (np.abs(y2[:, None] - y2[None, :]) <= delta))
+    for i, j in np.argwhere(np.triu(sim, 1)):
+        pi, pj = find(i), find(j)
+        if pi != pj:
+            parent[pj] = pi
     roots = np.array([find(i) for i in range(n)])
     out, counts = [], []
     for r in np.unique(roots):
@@ -244,6 +279,11 @@ class HaarCascadeDetector:
     # intermediates to a few hundred MB regardless of image size
     MAX_WINDOWS_PER_CALL = 1 << 16
 
+    # candidate slots in the device-side compaction buffer (4 KB
+    # readback); a frame with more raw hits falls back to the full-mask
+    # readback path
+    MAX_CANDIDATES = 1 << 10
+
     def _mask_pieces(self, scaled, sh: int, sw: int, stride: int):
         """Pass mask for one pyramid scale as a list of DEVICE arrays
         (row bands of the full-width mask) — no host readback here, so
@@ -298,10 +338,12 @@ class HaarCascadeDetector:
         # one upload per image; every per-scale step below is a jitted
         # call (eager ops dispatch synchronously on remote backends).
         # Phase 1 enqueues the WHOLE pyramid without reading anything
-        # back; phase 2 flattens every scale's mask into one buffer on
-        # device and reads it back in a single transfer — per-scale
-        # readbacks used to cost one tunnel RTT (~30 ms) per scale,
-        # ~14x the device time of the pyramid itself.
+        # back; phase 2 compacts the passing windows ON DEVICE to a
+        # fixed-K index buffer and reads back those few KB in a single
+        # transfer (_compact_candidates) — per-scale readbacks used to
+        # cost one tunnel RTT (~30 ms) per scale, and even the single
+        # flattened mask-band readback + host np.nonzero cost ~50 ms of
+        # the former ~80 ms frame.
         if img_dev is None:
             img_dev = jnp.asarray(img)
         pieces = []                    # device mask bands, all scales
@@ -337,25 +379,52 @@ class HaarCascadeDetector:
                 pieces.extend(ps)
             factor *= self.scale_factor
 
-        candidates: List[np.ndarray] = []
+        boxes = np.zeros((0, 4), np.float32)
         if pieces:
-            flat = np.asarray(_flatten_masks(*pieces))
+            # per-piece decode metadata (band row offset in output-row
+            # units, valid rows/cols, scale stride/factor)
+            p_valid = np.zeros((len(pieces), 2), np.int32)
+            p_band = np.zeros(len(pieces), np.int64)
+            p_stride = np.zeros(len(pieces), np.int64)
+            p_factor = np.zeros(len(pieces), np.float64)
+            for first, n_ps, oh, ow, stride, factor in scale_infos:
+                for b in range(n_ps):
+                    i = first + b
+                    boh = pieces[i].shape[0]
+                    p_valid[i] = (min(boh, oh - b * boh), ow)
+                    p_band[i] = b * boh
+                    p_stride[i] = stride
+                    p_factor[i] = factor
+            # ONE few-KB readback: compacted flat candidate indices
+            packed = np.asarray(_compact_candidates(
+                jnp.asarray(p_valid), self.MAX_CANDIDATES, *pieces))
+            count = int(packed[-1])
             offsets = np.cumsum([0] + [int(np.prod(p.shape))
                                        for p in pieces])
-            for first, n_ps, oh, ow, stride, factor in scale_infos:
-                mask = np.concatenate([
-                    flat[offsets[i]:offsets[i + 1]].reshape(
-                        pieces[i].shape)
-                    for i in range(first, first + n_ps)], axis=0)
-                ys, xs = np.nonzero(mask[:oh, :ow])
-                for y, x in zip(ys, xs):
-                    candidates.append(np.float32([
-                        round(x * stride * factor),
-                        round(y * stride * factor),
-                        round(d.window_width * factor),
-                        round(d.window_height * factor)]))
-        boxes = (np.stack(candidates) if candidates
-                 else np.zeros((0, 4), np.float32))
+            if count <= self.MAX_CANDIDATES:
+                sel = packed[:count].astype(np.int64)
+            else:
+                # overflow: fall back to the full-mask readback (valid-
+                # region masking + flat indices, identical decode below)
+                flat = np.asarray(_flatten_masks(*pieces))
+                keep = np.zeros(offsets[-1], bool)
+                for i, p in enumerate(pieces):
+                    m = np.zeros(p.shape, bool)
+                    m[:p_valid[i, 0], :p_valid[i, 1]] = True
+                    keep[offsets[i]:offsets[i + 1]] = m.reshape(-1)
+                sel = np.nonzero(flat & keep)[0]
+            if len(sel):
+                pid = np.searchsorted(offsets, sel, side="right") - 1
+                local = sel - offsets[pid]
+                pw = np.array([p.shape[1] for p in pieces])[pid]
+                ys = p_band[pid] + local // pw
+                xs = local % pw
+                sf = p_stride[pid] * p_factor[pid]
+                boxes = np.stack([
+                    np.round(xs * sf), np.round(ys * sf),
+                    np.round(d.window_width * p_factor[pid]),
+                    np.round(d.window_height * p_factor[pid])],
+                    axis=1).astype(np.float32)
         if self.min_neighbors > 0:
             return group_rectangles(boxes, self.min_neighbors)
         return boxes
