@@ -34,6 +34,19 @@ def trained_model(tmp_path_factory):
     return out
 
 
+def test_rcr_train_mirror(tmp_path):
+    # --mirror doubles the set with flipped faces; the callback ground
+    # truth must follow (train error is printed against the doubled set)
+    out = tmp_path / "mirror.bin"
+    r = run(["superviseddescent_tpu.apps.rcr_train",
+             "-d", DATA, "-o", str(out),
+             "--levels", "1", "--num-perturbations", "1", "--seed", "1",
+             "--mirror"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Normalised LM-error train:" in r.stdout
+    assert os.path.exists(out)
+
+
 def test_rcr_train_output(trained_model):
     # training prints per-level residuals and saves a loadable model
     from superviseddescent_tpu.models import DetectionModel
