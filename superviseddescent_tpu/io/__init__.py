@@ -1,4 +1,4 @@
-from superviseddescent_tpu.io.pts import read_pts_landmarks
+from superviseddescent_tpu.io.pts import read_pts_landmarks, write_pts_landmarks
 from superviseddescent_tpu.io.meanshape import load_mean
 from superviseddescent_tpu.io.infocfg import (
     parse_info,
@@ -21,6 +21,7 @@ from superviseddescent_tpu.io.cereal import (
 
 __all__ = [
     "read_pts_landmarks",
+    "write_pts_landmarks",
     "load_mean",
     "parse_info",
     "read_landmarks_list_to_train",

@@ -13,6 +13,22 @@ import numpy as np
 from superviseddescent_tpu.utils.landmarks import LandmarkCollection
 
 
+def write_pts_landmarks(filename, landmarks: LandmarkCollection) -> None:
+    """Write an ibug .pts file (the inverse of ``read_pts_landmarks``:
+    coordinates are stored 1-based, as the ibug annotations are). The
+    reference only reads this format (landmarks_io.hpp:43-85); the writer
+    rounds the trip so tooling can emit training data the reader accepts.
+    """
+    c = np.asarray(landmarks.coordinates, np.float32)
+    with open(filename, "w") as f:
+        f.write("version: 1\n")
+        f.write(f"n_points:  {len(landmarks)}\n")
+        f.write("{\n")
+        for x, y in c:
+            f.write(f"{x + 1.0:.6f} {y + 1.0:.6f}\n")
+        f.write("}\n")
+
+
 def read_pts_landmarks(filename) -> LandmarkCollection:
     names = []
     coords = []

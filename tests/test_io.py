@@ -34,6 +34,19 @@ def test_read_pts_landmarks():
                                [np.float32(x0) - 1.0, np.float32(y0) - 1.0])
 
 
+def test_write_pts_landmarks_round_trip(tmp_path):
+    from superviseddescent_tpu.io import write_pts_landmarks
+    from superviseddescent_tpu.utils.landmarks import LandmarkCollection
+    rng = np.random.default_rng(3)
+    coords = rng.uniform(0, 500, size=(68, 2)).astype(np.float32)
+    lms = LandmarkCollection([str(i) for i in range(1, 69)], coords)
+    path = str(tmp_path / "rt.pts")
+    write_pts_landmarks(path, lms)
+    back = read_pts_landmarks(path)
+    assert back.names == lms.names
+    np.testing.assert_allclose(back.coordinates, coords, atol=1e-4)
+
+
 @pytest.mark.skipif(not os.path.isdir(REF_DATA), reason="reference data absent")
 def test_load_mean():
     mean = load_mean(os.path.join(REF_DATA, "mean_ibug_lfpw_68.txt"))
