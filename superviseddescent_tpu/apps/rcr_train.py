@@ -164,7 +164,12 @@ def main(argv=None):
     images = [images[i] for i in kept]
     gt_rows = gt_rows[kept]
     print(f"Kept {len(images)} images.")
-    stack, _ = stack_images(images)
+    # uint8 is lossless for decoded grays (load_gray_image returns
+    # uint8-valued f32) and quarters the host->device upload; the
+    # 128-multiple width keeps the window backend's ROI crop on the
+    # lane-static fast path (measured 29.4 -> 11.3 s warm at 300
+    # distinct training images, scripts/bench_train_real_io.py)
+    stack, _ = stack_images(images, dtype=np.uint8, pad_width_to=128)
 
     hog_params = RCR22_HOG_PARAMS[:args.levels]
     cfg = RcrTrainConfig(
@@ -225,7 +230,8 @@ def main(argv=None):
         t_images = [t_images[i] for i in t_kept]
         t_rows = t_rows[t_kept]
         print(f"Kept {len(t_images)} test images.")
-        t_stack, _ = stack_images(t_images)
+        t_stack, _ = stack_images(t_images, dtype=np.uint8,
+                                  pad_width_to=128)
 
         init = np.asarray(align_mean(mean[None, :], t_boxes))
         err0 = float(np.mean(np.asarray(normalised_landmark_errors(

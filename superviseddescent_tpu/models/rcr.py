@@ -592,7 +592,7 @@ class DetectionModel:
     def make_fused_detector(self, roi: int,
                             max_ied: Optional[float] = None,
                             init: str = "facebox",
-                            faces_per_step: int = 8):
+                            faces_per_step: int = 12):
         """Whole-cascade FUSED Pallas detector (ops/cascade_pallas.py):
         one kernel samples, HOG-describes and regresses all levels with
         the face window resident in VMEM — no per-level window
@@ -619,10 +619,13 @@ class DetectionModel:
         sampling='fast', window_sampler=True, hog_fast=True).
         Requires a square 128-aligned roi (the window crop) sized like
         the stepped window path; max_ied as there. faces_per_step is the
-        kernel's G (faces per grid step): 8 is the measured sweet spot
-        for RCR-22-sized models; large landmark counts (e.g. ibug-68)
-        may want a smaller G to bound the Mosaic compile time, which
-        scales with G*L unrolled patch samples.
+        kernel's G (faces per grid step): the measured sweep at RCR-22
+        scale is G=8 56.6 / G=10 60.5 / G=12 54.9 ms per 3072 faces
+        (G=16 is a >30 min Mosaic compile cliff; docs/PERF_NOTES.md), so
+        12 is the default; outputs are bit-identical across G. Large
+        landmark counts (e.g. ibug-68) want a smaller G (4) to bound
+        the Mosaic compile time, which scales with G*L unrolled patch
+        samples. Batches are padded to a G multiple inside the kernel.
         """
         from superviseddescent_tpu.ops.cascade_pallas import (
             SEG, detect_cascade_fused, permute_weights,
