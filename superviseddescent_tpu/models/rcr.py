@@ -628,7 +628,8 @@ class DetectionModel:
         samples. Batches are padded to a G multiple inside the kernel.
         """
         from superviseddescent_tpu.ops.cascade_pallas import (
-            SEG, detect_cascade_fused, permute_weights,
+            FRAME_COL_ALIGN, FRAME_ROW_ALIGN, SEG, detect_cascade_fused,
+            detect_cascade_fused_frames, permute_weights,
             validate_fused_config)
         from superviseddescent_tpu.ops.hog import hog_dimension
         if roi % 128 != 0:
@@ -689,15 +690,63 @@ class DetectionModel:
             return (windows.astype(jnp.bfloat16),
                     ox.astype(jnp.float32), oy.astype(jnp.float32))
 
+        def _frames_path_ok(images):
+            # the in-kernel-crop path: uint8 frames whose row stride is
+            # lane-tile aligned (stack_images(pad_width_to=128)) can be
+            # DMA'd straight from HBM by the kernel — no crop prologue
+            return (images.dtype == jnp.uint8
+                    and images.shape[2] % FRAME_COL_ALIGN == 0)
+
+        def _aligned_origins(images, boxes):
+            """Tile-aligned per-face window origins + the static window
+            shape for detect_cascade_fused_frames. The desired roi crop
+            origin is aligned DOWN to the (row, col) DMA grain and the
+            window enlarged by one grain so it still covers the whole
+            desired crop — every patch the legacy crop path could sample
+            is present, just origin-shifted (compensated via x0)."""
+            h, w = images.shape[1], images.shape[2]
+            if h < roi or w < roi:
+                raise ValueError(f"roi {roi} exceeds image stack {h}x{w}")
+            ry_w = roi + (FRAME_ROW_ALIGN if h >= roi + FRAME_ROW_ALIGN
+                          else 0)
+            rx_w = roi + (FRAME_COL_ALIGN if w >= roi + FRAME_COL_ALIGN
+                          else 0)
+            cx = boxes[:, 0] + boxes[:, 2] / 2.0
+            cy = boxes[:, 1] + boxes[:, 3] / 2.0
+            oy = jnp.clip(jnp.round(cy - roi / 2.0), 0, h - ry_w
+                          ).astype(jnp.int32)
+            oy = (oy // FRAME_ROW_ALIGN) * FRAME_ROW_ALIGN
+            ox = jnp.clip(jnp.round(cx - roi / 2.0), 0, w - rx_w
+                          ).astype(jnp.int32)
+            ox = (ox // FRAME_COL_ALIGN) * FRAME_COL_ALIGN
+            return oy, ox, (ry_w, rx_w)
+
+        def _run_frames(images, boxes, x0_img, image_indices):
+            oy, ox, window_shape = _aligned_origins(images, boxes)
+            if image_indices is None:
+                idx = jnp.arange(images.shape[0], dtype=jnp.int32)
+            else:
+                idx = jnp.asarray(image_indices, jnp.int32)
+            shift = rows_shift(ox.astype(jnp.float32),
+                               oy.astype(jnp.float32), n_lm)
+            out = detect_cascade_fused_frames(
+                images, idx, oy, ox, x0_img - shift, weights_perm,
+                window_shape, levels, cell_sizes, p0.num_bins, dims,
+                tuple(r_idx), tuple(l_idx),
+                faces_per_step=faces_per_step)
+            return out + shift
+
         @jax.jit
         def run_fused(images, faceboxes, image_indices=None):
             boxes = jnp.asarray(faceboxes, jnp.float32)
-            windows, ox, oy = crop_fn(jnp.asarray(images), boxes,
-                                      image_indices)
+            images = jnp.asarray(images)
+            x0_img = align_mean(mean[None, :], boxes)
+            if _frames_path_ok(images):
+                return _run_frames(images, boxes, x0_img, image_indices)
+            windows, ox, oy = crop_fn(images, boxes, image_indices)
             shift = rows_shift(ox, oy, n_lm)
-            x0 = align_mean(mean[None, :], boxes) - shift
             out = detect_cascade_fused(
-                windows, x0, weights_perm, levels, cell_sizes,
+                windows, x0_img - shift, weights_perm, levels, cell_sizes,
                 p0.num_bins, dims, tuple(r_idx), tuple(l_idx),
                 faces_per_step=faces_per_step)
             return out + shift
@@ -707,14 +756,16 @@ class DetectionModel:
             # tracking init (model.hpp:147-157): x0 = the prior frame's
             # landmark row; the roi window is centred on its enclosing box
             rows = jnp.asarray(prior_rows, jnp.float32)
+            images = jnp.asarray(images)
             xs, ys = rows[:, :n_lm], rows[:, n_lm:]
             boxes = jnp.stack([
                 (xs.min(1) + xs.max(1)) / 2.0 - roi / 2.0,
                 (ys.min(1) + ys.max(1)) / 2.0 - roi / 2.0,
                 jnp.full(rows.shape[:1], float(roi)),
                 jnp.full(rows.shape[:1], float(roi))], axis=1)
-            windows, ox, oy = crop_fn(jnp.asarray(images), boxes,
-                                      image_indices)
+            if _frames_path_ok(images):
+                return _run_frames(images, boxes, rows, image_indices)
+            windows, ox, oy = crop_fn(images, boxes, image_indices)
             shift = rows_shift(ox, oy, n_lm)
             out = detect_cascade_fused(
                 windows, rows - shift, weights_perm, levels, cell_sizes,

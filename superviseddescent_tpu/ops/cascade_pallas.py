@@ -5,7 +5,11 @@ step: per level, the L landmark patches are sampled from the VMEM-
 resident face window (transposed tent dots, as ops/patches_pallas.py),
 HOG-described in a lane-packed layout, assembled into the feature row,
 and the regressor GEMV applied — the landmark estimate x never leaves
-registers/VMEM between levels.
+registers/VMEM between levels. The round-3 frames variant
+(detect_cascade_fused_frames) additionally fuses the window CROP into
+the kernel: uint8 frames stay in HBM and each grid step DMAs its faces'
+windows from per-face origins — no XLA crop prologue, no bf16 window
+HBM round-trip.
 
 Why (measured, docs/PERF_NOTES.md roofline): the per-level pipeline is
 floor-bound, not roofline-bound. Fusing removes, per batch of 1024 faces,
@@ -432,12 +436,14 @@ def _hog_tail(bscr, cscr, fscr, rx_ref, ry_ref, *, g_faces, c, o_count,
     # (the bias segment is written once by the caller)
 
 
-def _cascade_kernel(x0_ref, win_ref, w0, w1, w2, w3,
-                    wx_ref, wy_ref, rx_ref, ry_ref, o_ref,
-                    gscr, pscr, fscr, bscr, cscr, *,
-                    levels, g_faces, ry_n, rx_n, num_landmarks, o_count,
-                    dims, cell_sizes, r_idx, l_idx, probe=None):
-    w_refs = [w0, w1, w2, w3][:len(levels)]
+def _cascade_body(x0_ref, win_ref, w_refs,
+                  wx_ref, wy_ref, rx_ref, ry_ref, o_ref,
+                  gscr, pscr, fscr, bscr, cscr, *,
+                  levels, g_faces, ry_n, rx_n, num_landmarks, o_count,
+                  dims, cell_sizes, r_idx, l_idx, probe=None):
+    """The shared cascade loop: win_ref is any (G, RY, RX) bf16 ref —
+    a pipelined input block (_cascade_kernel) or the in-kernel-cropped
+    window scratch (_cascade_frames_kernel)."""
     c = hog_num_cells(levels[0][0], cell_sizes[0])
     # bias segment (the LAST SEG lanes): ones, once (every other segment
     # is fully rewritten per level per face)
@@ -479,6 +485,61 @@ def _cascade_kernel(x0_ref, win_ref, w0, w1, w2, w3,
             x_rows[g] = x_rows[g] - upd[g, :] * ieds[g]
     for g in range(g_faces):
         o_ref[g, 0, :] = x_rows[g]
+
+
+def _cascade_kernel(x0_ref, win_ref, w0, w1, w2, w3,
+                    wx_ref, wy_ref, rx_ref, ry_ref, o_ref,
+                    gscr, pscr, fscr, bscr, cscr, *,
+                    levels, g_faces, ry_n, rx_n, num_landmarks, o_count,
+                    dims, cell_sizes, r_idx, l_idx, probe=None):
+    _cascade_body(x0_ref, win_ref, [w0, w1, w2, w3][:len(levels)],
+                  wx_ref, wy_ref, rx_ref, ry_ref, o_ref,
+                  gscr, pscr, fscr, bscr, cscr,
+                  levels=levels, g_faces=g_faces, ry_n=ry_n, rx_n=rx_n,
+                  num_landmarks=num_landmarks, o_count=o_count, dims=dims,
+                  cell_sizes=cell_sizes, r_idx=r_idx, l_idx=l_idx,
+                  probe=probe)
+
+
+def _cascade_frames_kernel(idx_ref, oy_ref, ox_ref, x0_ref, frames_ref,
+                           w0, w1, w2, w3,
+                           wx_ref, wy_ref, rx_ref, ry_ref, o_ref,
+                           u8scr, winscr, gscr, pscr, fscr, bscr, cscr,
+                           dsems, *,
+                           levels, g_faces, ry_n, rx_n, num_landmarks,
+                           o_count, dims, cell_sizes, r_idx, l_idx,
+                           probe=None):
+    """Cascade kernel with the window crop fused IN: per grid step, the
+    G faces' uint8 windows are DMA'd straight out of the HBM-resident
+    frame stack at per-face (frame, row, col) origins — the XLA crop
+    prologue (per-face gather + bf16 window write + kernel re-read,
+    ~18 ms/batch-4096, PERF_NOTES) disappears, and the window traffic
+    the kernel does read is uint8, half the bf16 bytes. The u8 -> f32
+    cast chain (u8 cannot cast straight to bf16 on Mosaic) runs once
+    per face per step and is amortised over all cascade levels."""
+    step = pl.program_id(0)
+
+    def _src(g):
+        # the caller aligned the origins to the FRAME_*_ALIGN grains;
+        # Mosaic needs the proof annotation to slice the tiled HBM ref
+        oyv = pl.multiple_of(oy_ref[step, g], FRAME_ROW_ALIGN)
+        oxv = pl.multiple_of(ox_ref[step, g], FRAME_COL_ALIGN)
+        return frames_ref.at[idx_ref[step, g], pl.ds(oyv, ry_n),
+                             pl.ds(oxv, rx_n)]
+
+    for g in range(g_faces):
+        pltpu.make_async_copy(_src(g), u8scr.at[g], dsems.at[g]).start()
+    for g in range(g_faces):
+        pltpu.make_async_copy(_src(g), u8scr.at[g], dsems.at[g]).wait()
+        winscr[g, :, :] = u8scr[g, :, :].astype(jnp.int32).astype(
+            jnp.float32).astype(jnp.bfloat16)
+    _cascade_body(x0_ref, winscr, [w0, w1, w2, w3][:len(levels)],
+                  wx_ref, wy_ref, rx_ref, ry_ref, o_ref,
+                  gscr, pscr, fscr, bscr, cscr,
+                  levels=levels, g_faces=g_faces, ry_n=ry_n, rx_n=rx_n,
+                  num_landmarks=num_landmarks, o_count=o_count, dims=dims,
+                  cell_sizes=cell_sizes, r_idx=r_idx, l_idx=l_idx,
+                  probe=probe)
 
 
 def _features_kernel(x0_ref, win_ref, wx_ref, wy_ref, rx_ref, ry_ref,
@@ -591,6 +652,133 @@ def extract_features_fused(windows: jnp.ndarray,
       jnp.asarray(wx_all), jnp.asarray(wy_all),
       jnp.asarray(rx_all), jnp.asarray(ry_all))
     return out[:n]
+
+
+#: alignment grain of the in-kernel crop origins (detect_cascade_fused_
+#: frames): rows to the int8 sublane tile, cols to the 128-lane tile —
+#: DMA slice starts stay tile-aligned for the uint8 window scratch.
+FRAME_ROW_ALIGN = 32
+FRAME_COL_ALIGN = 128
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "window_shape", "levels", "cell_sizes", "num_orientations", "dims",
+    "r_idx", "l_idx", "faces_per_step", "interpret", "probe"))
+def detect_cascade_fused_frames(frames: jnp.ndarray,
+                                image_indices: jnp.ndarray,
+                                oy: jnp.ndarray,
+                                ox: jnp.ndarray,
+                                x0: jnp.ndarray,
+                                weights_perm,
+                                window_shape,
+                                levels,
+                                cell_sizes,
+                                num_orientations: int,
+                                dims: int,
+                                r_idx,
+                                l_idx,
+                                faces_per_step: int = 12,
+                                interpret: bool = False,
+                                probe=None) -> jnp.ndarray:
+    """detect_cascade_fused with the per-face window crop fused into the
+    kernel: the uint8 frame stack stays in HBM and each grid step DMAs
+    its G windows directly from per-face (frame, row, col) origins —
+    no XLA crop prologue, no bf16 window round-trip through HBM
+    (PERF_NOTES: the prologue was the largest non-kernel cost left,
+    ~18 ms/batch-4096).
+
+    frames: (n_img, H, W) uint8, W a multiple of FRAME_COL_ALIGN.
+    image_indices/oy/ox: (N,) int32 per-face origins; oy must be a
+      multiple of FRAME_ROW_ALIGN with oy + RY <= H, ox a multiple of
+      FRAME_COL_ALIGN with ox + RX <= W (align desired origins DOWN and
+      compensate in x0 — the caller owns this, see make_fused_detector).
+    window_shape: static (RY, RX) of the cropped window; RX typically
+      roi + FRAME_COL_ALIGN so the down-aligned ox still covers the
+      face (an extra 128 uint8 columns cost less than half the bf16
+      bytes the fused path no longer streams).
+    x0: (N, 2L) f32 initial rows in WINDOW (origin-shifted) coordinates.
+    Everything else as detect_cascade_fused. Returns (N, 2L) f32 rows
+    in window coordinates.
+    """
+    interpret = interpret or jax.default_backend() == "cpu"
+    ry_n, rx_n = window_shape
+    n = x0.shape[0]
+    l2 = x0.shape[1]
+    l = l2 // 2
+    g = min(faces_per_step, n)
+    assert frames.dtype == jnp.uint8, "frames path requires uint8 frames"
+    n_pad = -(-n // g) * g
+    if n_pad != n:
+        pad = n_pad - n
+        image_indices = jnp.concatenate(
+            [image_indices, jnp.tile(image_indices[:1], (pad,))])
+        oy = jnp.concatenate([oy, jnp.tile(oy[:1], (pad,))])
+        ox = jnp.concatenate([ox, jnp.tile(ox[:1], (pad,))])
+        x0 = jnp.concatenate([x0, jnp.tile(x0[:1], (pad, 1))])
+
+    s_max = max(lv[0] for lv in levels)
+    lp_max = l * s_max
+    c = hog_num_cells(levels[0][0], cell_sizes[0])
+    br = _block_rows(c)
+    _, nseg = seg_packing(l, c)
+    kdim = (dims * c * nseg + 1) * SEG
+    kernel = functools.partial(
+        _cascade_frames_kernel, levels=tuple(levels), g_faces=g,
+        ry_n=ry_n, rx_n=rx_n, num_landmarks=l, o_count=num_orientations,
+        dims=dims, cell_sizes=tuple(cell_sizes), r_idx=tuple(r_idx),
+        l_idx=tuple(l_idx), probe=probe)
+
+    wx_all, wy_all, rx_all, ry_all = _splat_consts(
+        tuple(levels), tuple(cell_sizes), num_orientations, l, g)
+    w_ops = [jnp.asarray(w, jnp.bfloat16) for w in weights_perm]
+    w_ops += [jnp.zeros((l2, kdim), jnp.bfloat16)] * (4 - len(w_ops))
+
+    const_spec = lambda shape: pl.BlockSpec(        # noqa: E731
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    # scalars ride SMEM UNBLOCKED as full (steps, G) arrays (Mosaic's
+    # block-shape divisibility rules preclude (1, G) blocks); the kernel
+    # rows-indexes by program_id. 4 B * 3 * steps * G = ~48 KB at the
+    # bench batch — far under the scalar-memory budget.
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    steps = n_pad // g
+    image_indices = image_indices.astype(jnp.int32).reshape(steps, g)
+    oy = oy.astype(jnp.int32).reshape(steps, g)
+    ox = ox.astype(jnp.int32).reshape(steps, g)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_pad // g,),
+        in_specs=[smem_spec, smem_spec, smem_spec,
+                  pl.BlockSpec((g, 1, l2), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  ] + [const_spec((l2, kdim))] * 4 + [
+                  const_spec(wx_all.shape),
+                  const_spec(wy_all.shape),
+                  const_spec(rx_all.shape),
+                  const_spec(ry_all.shape),
+        ],
+        out_specs=pl.BlockSpec((g, 1, l2), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 1, l2), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((g, ry_n, rx_n), jnp.uint8),
+            pltpu.VMEM((g, ry_n, rx_n), jnp.bfloat16),
+            pltpu.VMEM((2 * num_orientations * s_max, lp_max),
+                       jnp.bfloat16),
+            pltpu.VMEM((s_max, lp_max), jnp.bfloat16),
+            pltpu.VMEM((g, kdim), jnp.float32),
+            pltpu.VMEM((2 * num_orientations * g * br, nseg * SEG),
+                       jnp.float32),
+            pltpu.VMEM((g * br, dims * nseg * SEG), jnp.float32),
+            pltpu.SemaphoreType.DMA((g,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(image_indices, oy, ox, x0.astype(jnp.float32)[:, None, :], frames,
+      *w_ops, jnp.asarray(wx_all), jnp.asarray(wy_all),
+      jnp.asarray(rx_all), jnp.asarray(ry_all))
+    return out[:n, 0, :]
 
 
 def compact_feature_columns(feats_k: jnp.ndarray, num_landmarks: int,

@@ -135,6 +135,22 @@ def test_fused_image_indices_matches_expanded(trained):
     np.testing.assert_array_equal(indexed, expanded)
 
 
+def test_fused_frames_path_matches_crop_path(trained):
+    # uint8 frames with a 128-aligned width route through the in-kernel
+    # window crop (detect_cascade_fused_frames: the kernel DMAs each
+    # face's window straight from the HBM frame stack); f32 frames take
+    # the legacy XLA crop prologue. Same pixels, origin-shifted windows
+    # only -> interior faces must agree to float-noise level.
+    model, stack, boxes = trained
+    stack128, _ = stack_images(
+        [np.asarray(stack[i]) for i in range(stack.shape[0])],
+        pad_width_to=128)
+    detect = model.make_fused_detector(roi=512, max_ied=145.0)
+    frames = np.asarray(detect(stack128.astype(np.uint8), boxes))
+    legacy = np.asarray(detect(stack128.astype(np.float32), boxes))
+    np.testing.assert_allclose(frames, legacy, atol=1e-3)
+
+
 def test_scan_detector_matches_unrolled():
     # Uniform per-level HOG params: the lax.scan whole-cascade body is
     # shape-legal and must match the unrolled monolithic application
