@@ -47,18 +47,23 @@ def main():
         lms = read_pts_landmarks(png.replace(".png", ".pts"))
         images.append(load_gray_image(png))
         rows.append(to_row(lms.filter(model_landmarks)))
-    stack, _ = stack_images(images, dtype=np.uint8)
+    # pad width to the lane tile so patch_backend='fused' can take the
+    # in-kernel-crop frames path (harmless zero columns for 'window')
+    stack, _ = stack_images(images, dtype=np.uint8, pad_width_to=128)
     # default 1024 faces (the README scale config); pass e.g. 3148 for the
     # full 300-W train-set face count (x11 inits = 34,628 samples)
     n_faces = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    backend = sys.argv[2] if len(sys.argv) > 2 else "window"
     sel = (np.arange(n_faces) % stack.shape[0]).astype(np.int32)
     gt = np.stack(rows)[sel]
     boxes = np.stack([gt_facebox(to_landmark_collection(r, model_landmarks))
                       for r in gt]).astype(np.float32)
 
-    cfg = RcrTrainConfig(seed=0, roi=512, patch_backend="window", hog_fast=True,
+    cfg = RcrTrainConfig(seed=0, roi=512, patch_backend=backend,
+                         hog_fast=True,
                          sampling="fast", solver_method="cholesky",
                          feature_chunk_size=2048)
+    print(f"backend={backend} faces={n_faces}", flush=True)
 
     for label in ("cold", "warm"):
         timer = LevelTimer()

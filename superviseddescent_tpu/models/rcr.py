@@ -21,7 +21,7 @@ Key differences from the reference, by design:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -134,7 +134,9 @@ class HogTransform:
                  patch_backend: Optional[str] = None,
                  sub_windows: Optional[Sequence[int]] = None,
                  sub_windows_x: Optional[Sequence[int]] = None,
-                 hog_fast: bool = False):
+                 hog_fast: bool = False,
+                 frame_table=None,
+                 frame_window: Optional[Tuple[int, int]] = None):
         """images: (I, H, W) float32 gray stack (see ops.patches.stack_images).
         image_indices: (N,) sample -> image map; defaults to arange or zeros
         depending on batch size at call time.
@@ -162,7 +164,16 @@ class HogTransform:
         for the 'window' backend, multiples of 128 (0/None -> full width);
         shrinks the sampling dots to WX lanes.
         hog_fast: bf16 cell-splat in the Pallas HOG kernel (~1.3x faster,
-        ~0.4% descriptor noise); exact f32 by default."""
+        ~0.4% descriptor noise); exact f32 by default.
+        frame_table: fused backend only — (frame_idx, oy, ox) per-FACE
+        int32 arrays enabling the in-kernel window crop
+        (ops/cascade_pallas.py::extract_features_fused_frames): `images`
+        is then the uint8 full-FRAME stack (width a FRAME_COL_ALIGN
+        multiple), image_indices maps sample -> face (row of the table),
+        origins are FRAME_*_ALIGN-aligned, and x is expressed in each
+        sample's aligned-window coordinates. No per-sample window stack
+        is ever gathered/materialised, so chunking is unnecessary.
+        frame_window: static (RY, RX) window shape for frame_table mode."""
         self.images = jnp.asarray(images)
         if self.images.ndim == 2:
             self.images = self.images[None]
@@ -210,6 +221,18 @@ class HogTransform:
                                   p0.num_bins, p0.variant)
             if not quantize:
                 raise ValueError("fused backend always quantizes patches")
+        if frame_table is not None:
+            if patch_backend != "fused":
+                raise ValueError("frame_table requires the fused backend")
+            if frame_window is None:
+                raise ValueError("frame_table requires frame_window")
+            if self.images.dtype != jnp.uint8:
+                raise ValueError("frame_table requires a uint8 frame stack")
+            frame_table = tuple(jnp.asarray(t, jnp.int32)
+                                for t in frame_table)
+        self.frame_table = frame_table
+        self.frame_window = (None if frame_window is None
+                             else tuple(int(v) for v in frame_window))
         self.patch_method = patch_backend
         self.sub_windows = None if sub_windows is None else tuple(sub_windows)
         self.sub_windows_x = (None if sub_windows_x is None
@@ -269,11 +292,14 @@ class HogTransform:
         n = x.shape[0]
         identity = self._identity_for(n)
         if (self.chunk_size is not None and n > self.chunk_size
-                and not (self.patch_method == "fused" and identity)):
+                and not (self.patch_method == "fused"
+                         and (identity or self.frame_table is not None))):
             # the fused kernel streams per-face blocks itself, so an
-            # identity batch needs no lax.map chunking — but a
-            # non-identity batch still gathers one window per sample
-            # ahead of the kernel, and THAT allocation must stay chunked
+            # identity batch needs no lax.map chunking — nor does the
+            # frames mode (the kernel crops windows straight from HBM;
+            # only (N,) int origin rows are per-sample). A non-identity
+            # windows batch still gathers one window per sample ahead of
+            # the kernel, and THAT allocation must stay chunked
             return self._call_chunked(x, level)
         return self._call_block(x, level, self._indices_for(n),
                                 identity=identity)
@@ -320,13 +346,31 @@ class HogTransform:
 
         if self.patch_method == "fused":
             from superviseddescent_tpu.ops.cascade_pallas import (
-                compact_feature_columns, extract_features_fused)
+                compact_feature_columns, extract_features_fused,
+                extract_features_fused_frames)
             from superviseddescent_tpu.ops.hog import hog_dimension
+            dims = hog_dimension(p.variant, p.num_bins)
+            if self.frame_table is not None:
+                # in-kernel window crop: image_indices maps sample ->
+                # face row of the (frame, oy, ox) table; the kernel DMAs
+                # each sample's window straight from the uint8 frames
+                fi, foy, fox = (t[image_indices] for t in self.frame_table)
+                ry_w, rx_w = self.frame_window
+                w = self.sub_windows[level] or ry_w
+                wx = (self.sub_windows_x[level] if self.sub_windows_x
+                      else 0) or rx_w
+                feats_k = extract_features_fused_frames(
+                    self.images, fi, foy, fox, x, (ry_w, rx_w),
+                    (p.patch_size, w, wx, p.relative_patch_size),
+                    p.cell_size, p.num_bins, dims,
+                    tuple(int(i) for i in self._right_idx),
+                    tuple(int(i) for i in self._left_idx))
+                return compact_feature_columns(feats_k, l, p.num_cells,
+                                               dims)
             windows = self.images if identity else self.images[image_indices]
             w = self.sub_windows[level] or windows.shape[1]
             wx = (self.sub_windows_x[level] if self.sub_windows_x
                   else 0) or windows.shape[2]
-            dims = hog_dimension(p.variant, p.num_bins)
             feats_k = extract_features_fused(
                 windows, x, (p.patch_size, w, wx, p.relative_patch_size),
                 p.cell_size, p.num_bins, dims,

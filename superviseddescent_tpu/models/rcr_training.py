@@ -238,7 +238,49 @@ def train_rcr(images, groundtruth_rows, faceboxes,
 
     l = gt.shape[1] // 2
     sample_shift = None
-    if config.roi is not None:
+    frame_table = frame_window = None
+    images = jnp.asarray(images)
+    if config.roi is not None and config.patch_backend == "fused":
+        # frames mode (in-kernel window crop): eligible whenever the
+        # fused detect frames path is (uint8 stack, lane-aligned width,
+        # ops/cascade_pallas.py::extract_features_fused_frames) — the
+        # per-sample window stack is never gathered/materialised
+        from superviseddescent_tpu.ops.cascade_pallas import (
+            FRAME_COL_ALIGN, FRAME_ROW_ALIGN)
+        h, w = int(images.shape[1]), int(images.shape[2])
+        if (images.dtype == jnp.uint8 and w % FRAME_COL_ALIGN == 0
+                and h >= config.roi and w >= config.roi):
+            roi = config.roi
+            ry_w = roi + (FRAME_ROW_ALIGN if h >= roi + FRAME_ROW_ALIGN
+                          else 0)
+            rx_w = roi + (FRAME_COL_ALIGN if w >= roi + FRAME_COL_ALIGN
+                          else 0)
+            boxes = np.asarray(faceboxes, np.float32)
+            cx = boxes[:, 0] + boxes[:, 2] / 2.0
+            cy = boxes[:, 1] + boxes[:, 3] / 2.0
+            oy = np.clip(np.round(cy - roi / 2.0), 0, h - ry_w
+                         ).astype(np.int32) // FRAME_ROW_ALIGN \
+                * FRAME_ROW_ALIGN
+            ox = np.clip(np.round(cx - roi / 2.0), 0, w - rx_w
+                         ).astype(np.int32) // FRAME_COL_ALIGN \
+                * FRAME_COL_ALIGN
+            frame_table = (jnp.asarray(image_indices, jnp.int32),
+                           jnp.asarray(oy), jnp.asarray(ox))
+            frame_window = (ry_w, rx_w)
+            origins = np.stack([ox, oy], axis=1).astype(np.float32)
+            # everything below runs in each face's ALIGNED-window
+            # coordinates (the kernel samples relative to the aligned
+            # origin); callbacks translate back to image coordinates
+            shift_rows = jnp.concatenate(
+                [jnp.tile(jnp.asarray(origins[:, :1]), (1, l)),
+                 jnp.tile(jnp.asarray(origins[:, 1:2]), (1, l))], axis=1)
+            gt = gt - shift_rows
+            faceboxes = jnp.asarray(faceboxes, jnp.float32
+                                    ).at[:, :2].add(-jnp.asarray(origins))
+            # HogTransform's image_indices become sample -> FACE (table
+            # row); the table maps face -> (frame, oy, ox)
+            image_indices = jnp.arange(b, dtype=jnp.int32)
+    if config.roi is not None and frame_table is None:
         # train against per-face windows: everything below runs in window
         # coordinates (HOG features are invariant to the shared shift);
         # callbacks translate back to image coordinates
@@ -315,9 +357,10 @@ def train_rcr(images, groundtruth_rows, faceboxes,
         sub_windows, sub_windows_x = level_sub_windows(
             config.hog_params, config.roi, 1.4 * max_ied)
         images = jnp.asarray(images)
-        if images.dtype == jnp.uint8:
+        if images.dtype == jnp.uint8 and frame_table is None:
             # pre-cast once: the pallas sampler cannot consume uint8, and
-            # bf16 is lossless for 0..255 gray pixels
+            # bf16 is lossless for 0..255 gray pixels (frames mode keeps
+            # uint8 — the kernel casts in-VMEM after the window DMA)
             target = (jnp.bfloat16 if config.sampling == "fast"
                       else jnp.float32)
             images = images.astype(target)
@@ -331,7 +374,9 @@ def train_rcr(images, groundtruth_rows, faceboxes,
                        sub_windows=sub_windows,
                        sub_windows_x=sub_windows_x,
                        sampling=config.sampling,
-                       hog_fast=config.hog_fast)
+                       hog_fast=config.hog_fast,
+                       frame_table=frame_table,
+                       frame_window=frame_window)
     norm = InterEyeDistanceNormalisation(model_landmarks, right_eye_ids,
                                          left_eye_ids)
     regressors = [LinearRegressor(regulariser=config.regularisation,

@@ -661,6 +661,157 @@ FRAME_ROW_ALIGN = 32
 FRAME_COL_ALIGN = 128
 
 
+def _features_frames_kernel(idx_ref, oy_ref, ox_ref, x0_ref, frames_ref,
+                            wx_ref, wy_ref, rx_ref, ry_ref, o_ref,
+                            u8scr, winscr, gscr, pscr, bscr, cscr, dsems,
+                            *, level, g_faces, ry_n, rx_n, num_landmarks,
+                            o_count, dims, cell_size, r_idx, l_idx):
+    """_features_kernel with the per-face window crop fused IN (the
+    training-extraction twin of _cascade_frames_kernel): each grid step
+    DMAs its G faces' uint8 windows straight out of the HBM-resident
+    frame stack — the per-sample XLA window gather that fed
+    extract_features_fused (one (chunk, RY, RX) bf16 materialisation
+    per level per chunk) disappears entirely."""
+    step = pl.program_id(0)
+
+    def _src(g):
+        oyv = pl.multiple_of(oy_ref[step, g], FRAME_ROW_ALIGN)
+        oxv = pl.multiple_of(ox_ref[step, g], FRAME_COL_ALIGN)
+        return frames_ref.at[idx_ref[step, g], pl.ds(oyv, ry_n),
+                             pl.ds(oxv, rx_n)]
+
+    for g in range(g_faces):
+        pltpu.make_async_copy(_src(g), u8scr.at[g], dsems.at[g]).start()
+    for g in range(g_faces):
+        pltpu.make_async_copy(_src(g), u8scr.at[g], dsems.at[g]).wait()
+        winscr[g, :, :] = u8scr[g, :, :].astype(jnp.int32).astype(
+            jnp.float32).astype(jnp.bfloat16)
+
+    s, w, wx, rel = level
+    c = hog_num_cells(s, cell_size)
+    kdim = o_ref.shape[1]
+    o_ref[:, kdim - SEG:kdim] = jnp.ones((g_faces, SEG), jnp.float32)
+
+    @pl.when(step == 0)
+    def _init_bscr():
+        bscr[:, :] = jnp.zeros(bscr.shape, jnp.float32)
+
+    for g in range(g_faces):
+        _face_features(
+            winscr, g, x0_ref[g, 0, :], wx_ref, wy_ref,
+            gscr, pscr, bscr, li=0, s=s, w=w, wx=wx, ry_n=ry_n,
+            rx_n=rx_n, num_landmarks=num_landmarks, o_count=o_count,
+            g_faces=g_faces, rel_patch=rel, cell_size=cell_size,
+            r_idx=r_idx, l_idx=l_idx)
+    _hog_tail(bscr, cscr, o_ref, rx_ref, ry_ref, g_faces=g_faces,
+              c=c, o_count=o_count, dims=dims)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "window_shape", "level", "cell_size", "num_orientations", "dims",
+    "r_idx", "l_idx", "faces_per_step", "interpret"))
+def extract_features_fused_frames(frames: jnp.ndarray,
+                                  image_indices: jnp.ndarray,
+                                  oy: jnp.ndarray,
+                                  ox: jnp.ndarray,
+                                  x: jnp.ndarray,
+                                  window_shape,
+                                  level,
+                                  cell_size: int,
+                                  num_orientations: int,
+                                  dims: int,
+                                  r_idx,
+                                  l_idx,
+                                  faces_per_step: int = 8,
+                                  interpret: bool = False) -> jnp.ndarray:
+    """extract_features_fused with the window crop fused into the
+    kernel: the uint8 frame stack stays in HBM and each grid step DMAs
+    its G samples' windows from per-sample (frame, row, col) origins —
+    no per-sample (N, RY, RX) window gather/materialisation ahead of the
+    kernel (the dominant extraction cost at 300-W training scale), so
+    the caller needs no feature_chunk_size memory chunking either.
+
+    frames: (n_img, H, W) uint8, W a multiple of FRAME_COL_ALIGN.
+    image_indices/oy/ox: (N,) int32 per-sample frame + window origins;
+      oy a multiple of FRAME_ROW_ALIGN with oy + RY <= H, ox a multiple
+      of FRAME_COL_ALIGN with ox + RX <= W (align desired origins DOWN
+      and express x in the aligned window's coordinates — the caller
+      owns this, see models/rcr_training.py).
+    x: (N, 2L) f32 current landmark rows in (aligned-)WINDOW coords.
+    window_shape: static (RY, RX) of the cropped window.
+    Everything else as extract_features_fused; returns the same
+    (N, (D*C*NSEG+1)*SEG) padded kernel-order feature rows."""
+    interpret = interpret or jax.default_backend() == "cpu"
+    ry_n, rx_n = window_shape
+    n = x.shape[0]
+    l2 = x.shape[1]
+    l = l2 // 2
+    g = min(faces_per_step, n)
+    assert frames.dtype == jnp.uint8, "frames path requires uint8 frames"
+    n_pad = -(-n // g) * g
+    if n_pad != n:
+        pad = n_pad - n
+        image_indices = jnp.concatenate(
+            [image_indices, jnp.tile(image_indices[:1], (pad,))])
+        oy = jnp.concatenate([oy, jnp.tile(oy[:1], (pad,))])
+        ox = jnp.concatenate([ox, jnp.tile(ox[:1], (pad,))])
+        x = jnp.concatenate([x, jnp.tile(x[:1], (pad, 1))])
+
+    s = level[0]
+    lp = l * s
+    c = hog_num_cells(s, cell_size)
+    br = _block_rows(c)
+    _, nseg = seg_packing(l, c)
+    kdim = (dims * c * nseg + 1) * SEG
+    wx_all, wy_all, rx_all, ry_all = _splat_consts(
+        (tuple(level),), (cell_size,), num_orientations, l, g)
+    kernel = functools.partial(
+        _features_frames_kernel, level=tuple(level), g_faces=g,
+        ry_n=ry_n, rx_n=rx_n, num_landmarks=l, o_count=num_orientations,
+        dims=dims, cell_size=cell_size, r_idx=tuple(r_idx),
+        l_idx=tuple(l_idx))
+
+    const_spec = lambda shape: pl.BlockSpec(        # noqa: E731
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    steps = n_pad // g
+    image_indices = image_indices.astype(jnp.int32).reshape(steps, g)
+    oy = oy.astype(jnp.int32).reshape(steps, g)
+    ox = ox.astype(jnp.int32).reshape(steps, g)
+    out = pl.pallas_call(
+        kernel,
+        grid=(steps,),
+        in_specs=[smem_spec, smem_spec, smem_spec,
+                  pl.BlockSpec((g, 1, l2), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  const_spec(wx_all.shape),
+                  const_spec(wy_all.shape),
+                  const_spec(rx_all.shape),
+                  const_spec(ry_all.shape),
+                  ],
+        out_specs=pl.BlockSpec((g, kdim), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, kdim), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((g, ry_n, rx_n), jnp.uint8),
+            pltpu.VMEM((g, ry_n, rx_n), jnp.bfloat16),
+            pltpu.VMEM((2 * num_orientations * s, lp), jnp.bfloat16),
+            pltpu.VMEM((s, lp), jnp.bfloat16),
+            pltpu.VMEM((2 * num_orientations * g * br, nseg * SEG),
+                       jnp.float32),
+            pltpu.VMEM((g * br, dims * nseg * SEG), jnp.float32),
+            pltpu.SemaphoreType.DMA((g,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(image_indices, oy, ox, x.astype(jnp.float32)[:, None, :], frames,
+      jnp.asarray(wx_all), jnp.asarray(wy_all),
+      jnp.asarray(rx_all), jnp.asarray(ry_all))
+    return out[:n]
+
+
 @functools.partial(jax.jit, static_argnames=(
     "window_shape", "levels", "cell_sizes", "num_orientations", "dims",
     "r_idx", "l_idx", "faces_per_step", "interpret", "probe"))

@@ -237,6 +237,56 @@ def test_fused_training_backend(trained):
     np.testing.assert_allclose(pred, ref_exact, atol=2.0)
 
 
+def test_fused_training_frames_mode(trained, monkeypatch):
+    # a uint8 lane-aligned-width stack routes fused training through the
+    # in-kernel window crop (extract_features_fused_frames): no
+    # per-sample window stack is ever gathered. Same sampling math and
+    # quantised pixels as the windows-based fused path — only the
+    # aligned window origin differs — so weights and landmarks must
+    # match to the frames-vs-legacy detect class (PERF_NOTES: 0.0018 px
+    # at the bench config).
+    model_x, stack, boxes = trained
+    from superviseddescent_tpu.io import read_pts_landmarks
+    from superviseddescent_tpu.ops import cascade_pallas
+    pngs = sorted(glob.glob(os.path.join(DATA, "*.png")))
+    images = [load_gray_image(p) for p in pngs]
+    gt_rows = np.stack([
+        to_row(read_pts_landmarks(p.replace(".png", ".pts"))
+               .filter(LANDMARKS)) for p in pngs])
+    stack_u8, _ = stack_images(images, dtype=np.uint8, pad_width_to=128)
+    l = len(LANDMARKS)
+    mean = np.mean([np.concatenate([(r[:l] - b[0]) / b[2] - 0.5,
+                                    (r[l:] - b[1]) / b[3] - 0.5])
+                    for r, b in zip(gt_rows, boxes)],
+                   axis=0).astype(np.float32)
+    calls = []
+    orig = cascade_pallas.extract_features_fused_frames
+    monkeypatch.setattr(
+        cascade_pallas, "extract_features_fused_frames",
+        lambda *a, **k: (calls.append(1), orig(*a, **k))[1])
+    base = dict(
+        hog_params=HOG, num_perturbations=2, seed=9,
+        regularisation=Regulariser(RegularisationType.MatrixNorm, 0.1,
+                                   False),
+        roi=512, sampling="fast", hog_fast=True)
+    m_fr = train_rcr(stack_u8, gt_rows, boxes, LANDMARKS, RIGHT_EYE,
+                     LEFT_EYE, mean,
+                     RcrTrainConfig(patch_backend="fused", **base))
+    assert calls, "uint8 aligned stack must take the frames path"
+    m_wi = train_rcr(stack, gt_rows, boxes, LANDMARKS, RIGHT_EYE,
+                     LEFT_EYE, mean,
+                     RcrTrainConfig(patch_backend="fused", **base))
+    for rf, rw in zip(m_fr.sdo.regressors, m_wi.sdo.regressors):
+        dw = np.abs(np.asarray(rf.weights) - np.asarray(rw.weights))
+        assert dw.mean() < 1e-3, dw.mean()
+    import jax.numpy as jnp
+    pred = np.asarray(m_fr.detect_batch(
+        stack, boxes, image_indices=jnp.arange(len(boxes))))
+    ref = np.asarray(m_wi.detect_batch(
+        stack, boxes, image_indices=jnp.arange(len(boxes))))
+    np.testing.assert_allclose(pred, ref, atol=0.75)  # px, same class
+
+
 def test_feature_order_mappings_consistent():
     # The three feature-order artifacts must agree on ONE kernel column
     # order (cx-major segments, (lm, cy) inner, bias last):
