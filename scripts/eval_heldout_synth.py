@@ -24,7 +24,14 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 CFG_DIR = "/root/reference/apps/rcr/data"
-N_IDENT = 5
+# identity count = the number of base PNGs make_synth_dataset.py round-
+# robins (i % len(bases)); derived from the same dir so the fold labels
+# can never misalign with the generator (ADVICE r3)
+BASE_DIR = "/root/reference/examples/data/ibug_lfpw_trainset"
+
+
+def n_identities() -> int:
+    return len(glob.glob(os.path.join(BASE_DIR, "*.png")))
 
 
 def main():
@@ -60,13 +67,14 @@ def main():
                   .filter(model_landmarks))
     r_idx, l_idx = resolve_eye_indices(model_landmarks, right_ids, left_ids)
 
+    n_ident = n_identities()
     images, rows, ident = [], [], []
     pngs = sorted(glob.glob(os.path.join(d, "*.png")))[:n]
     for i, png in enumerate(pngs):
         lms = read_pts_landmarks(png.replace(".png", ".pts"))
         images.append(load_gray_image(png))
         rows.append(to_row(lms.filter(model_landmarks)))
-        ident.append(i % N_IDENT)   # make_synth_dataset round-robins
+        ident.append(i % n_ident)  # make_synth_dataset round-robins
     rows = np.stack(rows)
     ident = np.asarray(ident)
     boxes = np.stack([gt_facebox(to_landmark_collection(r, model_landmarks))
@@ -78,7 +86,7 @@ def main():
                          solver_method="cholesky", feature_chunk_size=2048,
                          mirror_augmentation=True)
     fold_err = []
-    for k in range(N_IDENT):
+    for k in range(n_ident):
         tr = np.nonzero(ident != k)[0]
         te = np.nonzero(ident == k)[0]
         t0 = time.time()

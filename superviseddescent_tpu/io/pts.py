@@ -18,7 +18,21 @@ def write_pts_landmarks(filename, landmarks: LandmarkCollection) -> None:
     coordinates are stored 1-based, as the ibug annotations are). The
     reference only reads this format (landmarks_io.hpp:43-85); the writer
     rounds the trip so tooling can emit training data the reader accepts.
+
+    The format carries NO names — the reader names points "1".."N" in
+    file order — so only collections whose names already are the
+    sequential "1".."N" ids survive a round trip. Writing e.g. a
+    22-landmark model subset (ibug names "9","31",...) would silently
+    come back renamed "1".."22" and scramble landmark correspondence, so
+    that is rejected here (ADVICE r3).
     """
+    expect = [str(i + 1) for i in range(len(landmarks))]
+    if list(landmarks.names) != expect:
+        raise ValueError(
+            ".pts carries no landmark names (read_pts_landmarks renames "
+            "points '1'..'N' in file order): refusing to write a "
+            f"collection named {list(landmarks.names)[:4]}... — filter/"
+            "reorder to sequential ibug ids first")
     c = np.asarray(landmarks.coordinates, np.float32)
     with open(filename, "w") as f:
         f.write("version: 1\n")

@@ -737,9 +737,15 @@ class DetectionModel:
         def _frames_path_ok(images):
             # the in-kernel-crop path: uint8 frames whose row stride is
             # lane-tile aligned (stack_images(pad_width_to=128)) can be
-            # DMA'd straight from HBM by the kernel — no crop prologue
+            # DMA'd straight from HBM by the kernel — no crop prologue.
+            # Height must be FRAME_ROW_ALIGN-aligned too: _aligned_origins
+            # clamps against h - ry_w, and only an aligned h keeps that
+            # bound on the alignment grid so bottom-edge faces lose no
+            # rows vs the legacy crop (ADVICE r3). stack_images pads
+            # heights to 32 whenever the width is 128-padded.
             return (images.dtype == jnp.uint8
-                    and images.shape[2] % FRAME_COL_ALIGN == 0)
+                    and images.shape[2] % FRAME_COL_ALIGN == 0
+                    and images.shape[1] % FRAME_ROW_ALIGN == 0)
 
         def _aligned_origins(images, boxes):
             """Tile-aligned per-face window origins + the static window
@@ -747,22 +753,30 @@ class DetectionModel:
             origin is aligned DOWN to the (row, col) DMA grain and the
             window enlarged by one grain so it still covers the whole
             desired crop — every patch the legacy crop path could sample
-            is present, just origin-shifted (compensated via x0)."""
+            is present, just origin-shifted (compensated via x0).
+
+            Order matters (ADVICE r3): FLOOR first, then clamp against
+            the aligned upper bound. _frames_path_ok guarantees h and w
+            are grain multiples, so h - ry_w / w - rx_w sit on the grid
+            and the clamp cannot strip the one-grain slack from bottom/
+            right-edge faces (clip-then-floor lost up to grain-1 rows
+            the legacy crop sampled)."""
             h, w = images.shape[1], images.shape[2]
             if h < roi or w < roi:
                 raise ValueError(f"roi {roi} exceeds image stack {h}x{w}")
+            assert h % FRAME_ROW_ALIGN == 0 and w % FRAME_COL_ALIGN == 0
             ry_w = roi + (FRAME_ROW_ALIGN if h >= roi + FRAME_ROW_ALIGN
                           else 0)
             rx_w = roi + (FRAME_COL_ALIGN if w >= roi + FRAME_COL_ALIGN
                           else 0)
             cx = boxes[:, 0] + boxes[:, 2] / 2.0
             cy = boxes[:, 1] + boxes[:, 3] / 2.0
-            oy = jnp.clip(jnp.round(cy - roi / 2.0), 0, h - ry_w
-                          ).astype(jnp.int32)
-            oy = (oy // FRAME_ROW_ALIGN) * FRAME_ROW_ALIGN
-            ox = jnp.clip(jnp.round(cx - roi / 2.0), 0, w - rx_w
-                          ).astype(jnp.int32)
-            ox = (ox // FRAME_COL_ALIGN) * FRAME_COL_ALIGN
+            oy = jnp.round(cy - roi / 2.0).astype(jnp.int32)
+            oy = jnp.clip((oy // FRAME_ROW_ALIGN) * FRAME_ROW_ALIGN,
+                          0, h - ry_w)
+            ox = jnp.round(cx - roi / 2.0).astype(jnp.int32)
+            ox = jnp.clip((ox // FRAME_COL_ALIGN) * FRAME_COL_ALIGN,
+                          0, w - rx_w)
             return oy, ox, (ry_w, rx_w)
 
         def _run_frames(images, boxes, x0_img, image_indices):
@@ -770,7 +784,13 @@ class DetectionModel:
             if image_indices is None:
                 idx = jnp.arange(images.shape[0], dtype=jnp.int32)
             else:
-                idx = jnp.asarray(image_indices, jnp.int32)
+                # clamp: the frames kernel passes idx straight into an
+                # HBM DMA (no gather semantics), so an out-of-range
+                # entry must clamp here to honour the docstring's
+                # dynamic_slice contract (ADVICE r3) instead of reading
+                # out of bounds
+                idx = jnp.clip(jnp.asarray(image_indices, jnp.int32),
+                               0, images.shape[0] - 1)
             shift = rows_shift(ox.astype(jnp.float32),
                                oy.astype(jnp.float32), n_lm)
             out = detect_cascade_fused_frames(

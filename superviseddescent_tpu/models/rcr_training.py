@@ -248,7 +248,16 @@ def train_rcr(images, groundtruth_rows, faceboxes,
         from superviseddescent_tpu.ops.cascade_pallas import (
             FRAME_COL_ALIGN, FRAME_ROW_ALIGN)
         h, w = int(images.shape[1]), int(images.shape[2])
-        if (images.dtype == jnp.uint8 and w % FRAME_COL_ALIGN == 0
+        # eligibility additionally requires (ADVICE r3): a grain-aligned
+        # roi (a non-128 roi would make rx_w/the clip bound unaligned and
+        # the uint8 window DMA width untiled) and grain-aligned stack
+        # dims (so the clamp below cannot strip the one-grain slack from
+        # bottom/right-edge faces) — otherwise fall back to the windows-
+        # based fused path, which is exact for any shape
+        if (images.dtype == jnp.uint8
+                and config.roi % FRAME_COL_ALIGN == 0
+                and w % FRAME_COL_ALIGN == 0
+                and h % FRAME_ROW_ALIGN == 0
                 and h >= config.roi and w >= config.roi):
             roi = config.roi
             ry_w = roi + (FRAME_ROW_ALIGN if h >= roi + FRAME_ROW_ALIGN
@@ -258,13 +267,17 @@ def train_rcr(images, groundtruth_rows, faceboxes,
             boxes = np.asarray(faceboxes, np.float32)
             cx = boxes[:, 0] + boxes[:, 2] / 2.0
             cy = boxes[:, 1] + boxes[:, 3] / 2.0
-            oy = np.clip(np.round(cy - roi / 2.0), 0, h - ry_w
-                         ).astype(np.int32) // FRAME_ROW_ALIGN \
-                * FRAME_ROW_ALIGN
-            ox = np.clip(np.round(cx - roi / 2.0), 0, w - rx_w
-                         ).astype(np.int32) // FRAME_COL_ALIGN \
-                * FRAME_COL_ALIGN
-            frame_table = (jnp.asarray(image_indices, jnp.int32),
+            # FLOOR first, then clamp to the (aligned) bound — the same
+            # order as models/rcr.py::_aligned_origins (ADVICE r3)
+            oy = np.clip(np.round(cy - roi / 2.0).astype(np.int32)
+                         // FRAME_ROW_ALIGN * FRAME_ROW_ALIGN,
+                         0, h - ry_w)
+            ox = np.clip(np.round(cx - roi / 2.0).astype(np.int32)
+                         // FRAME_COL_ALIGN * FRAME_COL_ALIGN,
+                         0, w - rx_w)
+            idx_cl = np.clip(np.asarray(image_indices, np.int32),
+                             0, images.shape[0] - 1)
+            frame_table = (jnp.asarray(idx_cl, jnp.int32),
                            jnp.asarray(oy), jnp.asarray(ox))
             frame_window = (ry_w, rx_w)
             origins = np.stack([ox, oy], axis=1).astype(np.float32)

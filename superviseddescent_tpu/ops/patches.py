@@ -289,7 +289,8 @@ def load_gray_image(path):
     return arr.astype(np.float32)
 
 
-def stack_images(gray_images, dtype=None, pad_width_to=1):
+def stack_images(gray_images, dtype=None, pad_width_to=1,
+                 pad_height_to=None):
     """Zero-pad a list of (H_i, W_i) images into one (I, Hmax, Wmax) stack.
 
     Zero padding preserves the reference's zero-border patch semantics for
@@ -300,10 +301,18 @@ def stack_images(gray_images, dtype=None, pad_width_to=1):
     memory of big training stacks; the samplers cast per chunk.
     pad_width_to: round the stack width up to a multiple of this (128
     enables the stepped detector's lane-static rows-only ROI crop).
+    pad_height_to: round the stack height up likewise. Defaults to
+    pad_width_to's row grain: a 128-aligned width implies the caller
+    wants the fused frames path, whose in-kernel window DMA also needs
+    a FRAME_ROW_ALIGN(32)-aligned height so the clamped aligned origins
+    lose no bottom rows (ADVICE r3; models/rcr.py::_aligned_origins).
     """
     import numpy as np
     dtype = dtype or np.float32
+    if pad_height_to is None:
+        pad_height_to = 32 if pad_width_to % 128 == 0 else 1
     hmax = max(im.shape[0] for im in gray_images)
+    hmax = -(-hmax // pad_height_to) * pad_height_to
     wmax = max(im.shape[1] for im in gray_images)
     wmax = -(-wmax // pad_width_to) * pad_width_to
     stack = np.zeros((len(gray_images), hmax, wmax), dtype)

@@ -482,3 +482,39 @@ def test_fused_tracker_matches_monolithic(trained):
     tracked = np.asarray(model.make_fused_tracker(roi=512, max_ied=145.0)(
         stack128.astype(np.uint8), prior))
     np.testing.assert_allclose(tracked, mono, atol=0.75)
+
+
+def test_fused_frames_border_clamped_windows(trained):
+    # VERDICT r3 item 8 + ADVICE r3: the frames path aligns window
+    # origins DOWN to the (32, 128) DMA grain and clamps against the
+    # aligned bound; the one-grain window enlargement must survive the
+    # clamp so faces whose desired roi crop saturates at any of the four
+    # image borders still cover every pixel the legacy crop sampled.
+    # Build four 1024x1024 canvases (h % 32 == 0, w % 128 == 0) with the
+    # same face pasted at each corner, so the desired window clamps at
+    # ox=0 / ox=max / oy=0 / oy=max, and compare the fused frames path
+    # against the exact monolithic detector on identical canvases.
+    import jax.numpy as jnp
+    model, stack, boxes = trained
+    face = np.asarray(stack[1], np.float32)     # 450 x 300 source image
+    fh, fw = 450, 300
+    hh, ww = 1024, 1024
+    canvases = np.zeros((4, hh, ww), np.float32)
+    offs = [(0, 0), (0, ww - fw), (hh - fh, 0), (hh - fh, ww - fw)]
+    bx = np.zeros((4, 4), np.float32)
+    for i, (dy, dx) in enumerate(offs):
+        canvases[i, dy:dy + fh, dx:dx + fw] = face[:fh, :fw]
+        bx[i] = boxes[1] + np.float32([dx, dy, 0, 0])
+    mono = np.asarray(model.detect_batch(
+        canvases, bx, image_indices=jnp.arange(4)))
+    detect = model.make_fused_detector(roi=512, max_ied=145.0)
+    fused = np.asarray(detect(canvases.astype(np.uint8), bx))
+    np.testing.assert_allclose(fused, mono, atol=0.75)
+    # the landmark geometry must also be consistent across corners:
+    # every canvas holds the same face, so predictions shifted back by
+    # the paste offset must agree with each other
+    l = len(LANDMARKS)
+    shifts = np.stack([np.concatenate([np.full(l, dx), np.full(l, dy)])
+                       for dy, dx in offs]).astype(np.float32)
+    local = fused - shifts
+    np.testing.assert_allclose(local, np.tile(local[0], (4, 1)), atol=0.75)
