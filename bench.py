@@ -17,7 +17,15 @@ device-resident face batch. Also measures (VERDICT r1 items 3, 4, 10):
     batched detect) on an N-device mesh so a multi-chip run needs zero
     code changes (N=1 on today's single chip validates the code path).
 
-Prints ONE JSON line:
+Prints the core JSON line IMMEDIATELY after the throughput section, then
+an extended line (same schema, superset of keys) after each optional
+section group — stdout always carries a valid machine-readable record
+however far a timeout lets the run get (VERDICT r3 item 1: the r3 driver
+artifact died with rc=124 and parsed=null because the single JSON line
+printed only at the very end). Optional sections are additionally gated
+by a wall-clock budget (--budget SECONDS, default 480): a section whose
+typical cost would overshoot the budget is skipped with a log line.
+
   {"metric": ..., "value": N, "unit": "faces/sec", "vs_baseline": N/10000,
    "train_sec_300w": ..., "heldout_iod_err": ..., "trainset_iod_err": ...}
 (North star: >10k faces/sec on a v5e-8; BASELINE.md — the reference itself
@@ -36,10 +44,32 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 PRETRAINED = os.path.join(REPO, "pretrained", "rcr22_lfpw5.bin")
 DATA = "/root/reference/examples/data/ibug_lfpw_trainset"
 CFG_DIR = "/root/reference/apps/rcr/data"
+SYNTH_DIR = os.path.join(REPO, ".synth60")   # cached synth set (gitignored)
+
+T0 = time.time()
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def _arg(flag, default):
+    if flag in sys.argv:
+        return float(sys.argv[sys.argv.index(flag) + 1])
+    return default
+
+
+def budget_allows(reserve_sec, section):
+    """Wall-clock budget guard (VERDICT r3 item 1b): run an optional
+    section only if its typical cost still fits the --budget."""
+    budget = _arg("--budget", 480.0)
+    elapsed = time.time() - T0
+    if elapsed + reserve_sec > budget:
+        log(f"budget guard: skipping {section} "
+            f"(elapsed {elapsed:.0f}s + ~{reserve_sec:.0f}s > "
+            f"budget {budget:.0f}s; raise with --budget)")
+        return False
+    return True
 
 
 def load_dataset(model_landmarks):
@@ -132,25 +162,20 @@ def bench_train_300w(stack, gt_rows, boxes, model_landmarks,
     return warm
 
 
-def bench_heldout(stack, gt_rows, boxes, model_landmarks,
-                  right_ids, left_ids, mean, mirror=False):
-    """Leave-one-out held-out IOD error over the 5 bundled LFPW images
-    (the reference evaluates a held-out test set, rcr-train.cpp:474-538;
-    the train-set number alone is optimistic). One compiled train program
-    serves all folds (every fold's 4-image slice has the same shapes),
-    and one set of per-level jitted eval programs scores all 5 held-out
-    faces at once with per-fold weight stacks.
-
-    mirror=True additionally doubles each fold's 4 train faces with
-    horizontal-flip augmentation (RcrTrainConfig.mirror_augmentation —
-    the reference's own accuracy lever class, rcr-train.cpp:386-434)."""
+def _loo_eval(stack, gt_rows, boxes, fold_train_idx, fold_of_face,
+              model_landmarks, right_ids, left_ids, mean, cfg, tag):
+    """Shared leave-out evaluator: train one model per fold (every fold
+    has identical shapes, so ONE compiled train program serves them all)
+    and score every face against its own fold's weights with per-level
+    jitted eval programs (weights are ARGUMENTS, so one compile serves
+    all folds too)."""
     import functools
 
     import jax
     import jax.numpy as jnp
 
     from superviseddescent_tpu.models import (
-        InterEyeDistanceNormalisation, RcrTrainConfig, train_rcr)
+        InterEyeDistanceNormalisation, train_rcr)
     from superviseddescent_tpu.models.rcr import align_mean
     from superviseddescent_tpu.utils.landmarks import (
         ied_from_rows, resolve_eye_indices)
@@ -158,33 +183,34 @@ def bench_heldout(stack, gt_rows, boxes, model_landmarks,
     n = stack.shape[0]
     fold_weights = []   # per fold: list of (F, 2L) per level
     model0 = None
-    for k in range(n):
-        tr = np.array([i for i in range(n) if i != k], np.int32)
+    for tr in fold_train_idx:
         mk = train_rcr(stack[tr], gt_rows[tr], boxes[tr], model_landmarks,
-                       right_ids, left_ids, mean,
-                       RcrTrainConfig(seed=0, mirror_augmentation=mirror))
+                       right_ids, left_ids, mean, cfg)
         model0 = model0 or mk
         fold_weights.append([np.asarray(r.weights)
                              for r in mk.sdo.regressors])
 
-    # stacked per-fold weights: levels x (n, F, 2L)
+    # stacked per-fold weights: levels x (n_folds, F, 2L); each face
+    # evaluates against the fold that held it out
     w_stacks = [jnp.asarray(np.stack([fw[li] for fw in fold_weights]))
                 for li in range(len(fold_weights[0]))]
-    hog = model0._hog(stack, image_indices=jnp.arange(n, dtype=jnp.int32))
+    fold_of_face = jnp.asarray(fold_of_face, jnp.int32)
+    hog = model0._hog(jnp.asarray(stack),
+                      image_indices=jnp.arange(n, dtype=jnp.int32))
     norm = InterEyeDistanceNormalisation(model_landmarks, right_ids,
                                          left_ids)
 
     @functools.partial(jax.jit, static_argnames=("level",))
-    def level_fn(x, w, level):
+    def level_fn(x, w, fold_idx, level):
         feats = hog(x, level)                       # (n, F)
-        upd = jnp.einsum("nf,nfp->np", feats, w,
+        upd = jnp.einsum("nf,nfp->np", feats, w[fold_idx],
                          precision=jax.lax.Precision.HIGHEST)
         return x - upd / norm(x)
 
     x = jnp.asarray(align_mean(np.asarray(mean)[None, :],
-                               boxes.astype(np.float32)))
+                               np.asarray(boxes, np.float32)))
     for li in range(len(w_stacks)):
-        x = level_fn(x, w_stacks[li], li)
+        x = level_fn(x, w_stacks[li], fold_of_face, li)
     pred = np.asarray(x)
 
     r_idx, l_idx = resolve_eye_indices(model_landmarks, right_ids, left_ids)
@@ -193,10 +219,79 @@ def bench_heldout(stack, gt_rows, boxes, model_landmarks,
     L = len(model_landmarks)
     err = np.hypot(pred[:, :L] - gt_rows[:, :L],
                    pred[:, L:] - gt_rows[:, L:]).mean(axis=1) / ied
-    tag = "mirror-augmented" if mirror else "no-mirror"
-    log(f"leave-one-out held-out IOD error ({tag}): mean {err.mean():.4f} "
-        f"worst {err.max():.4f} per-fold {[f'{e:.4f}' for e in err]}")
+    log(f"{tag}: mean {err.mean():.4f} worst {err.max():.4f} "
+        f"({len(fold_train_idx)} folds, {n} test faces)")
     return float(err.mean()), float(err.max())
+
+
+def bench_heldout(stack, gt_rows, boxes, model_landmarks,
+                  right_ids, left_ids, mean, mirror=False):
+    """Leave-one-out held-out IOD error over the 5 bundled LFPW images
+    (the reference evaluates a held-out test set, rcr-train.cpp:474-538;
+    the train-set number alone is optimistic).
+
+    mirror=True additionally doubles each fold's 4 train faces with
+    horizontal-flip augmentation (RcrTrainConfig.mirror_augmentation —
+    the reference's own accuracy lever class, rcr-train.cpp:386-434)."""
+    from superviseddescent_tpu.models import RcrTrainConfig
+    n = stack.shape[0]
+    folds = [np.array([i for i in range(n) if i != k], np.int32)
+             for k in range(n)]
+    tag = ("leave-one-out held-out IOD error "
+           + ("(mirror-augmented)" if mirror else "(no-mirror)"))
+    return _loo_eval(stack, gt_rows, boxes, folds, np.arange(n),
+                     model_landmarks, right_ids, left_ids, mean,
+                     RcrTrainConfig(seed=0, mirror_augmentation=mirror),
+                     tag)
+
+
+def bench_heldout60(model_landmarks, right_ids, left_ids, mean, n=60):
+    """Leave-one-IDENTITY-out held-out IOD error on the cached synthetic
+    set (VERDICT r3 item 4: the 5-image protocol is data-starved; this
+    one trains each fold on every warp of 4 identities, mirror-augmented,
+    and tests on every warp of the held-out identity — 12x the test
+    points). The synthetic set is generated ONCE into .synth60/ and
+    reused; all folds share one compiled train program and one compiled
+    eval program (weights are arguments)."""
+    import subprocess
+
+    from superviseddescent_tpu.io import read_pts_landmarks
+    from superviseddescent_tpu.models import RcrTrainConfig, gt_facebox
+    from superviseddescent_tpu.ops.patches import (
+        load_gray_image, stack_images)
+    from superviseddescent_tpu.utils.landmarks import (
+        to_landmark_collection, to_row)
+
+    if len(glob.glob(os.path.join(SYNTH_DIR, "*.png"))) < n:
+        log(f"generating {n}-image synthetic set in {SYNTH_DIR} (once)")
+        subprocess.run(
+            [sys.executable, os.path.join(REPO,
+                                          "scripts/make_synth_dataset.py"),
+             SYNTH_DIR, str(n)], check=True,
+            env=dict(os.environ, PALLAS_AXON_POOL_IPS="",
+                     JAX_PLATFORMS="cpu"))
+    n_ident = len(glob.glob(f"{DATA}/*.png"))   # generator round-robins
+    images, rows = [], []
+    pngs = sorted(glob.glob(os.path.join(SYNTH_DIR, "*.png")))[:n]
+    for png in pngs:
+        lms = read_pts_landmarks(png.replace(".png", ".pts"))
+        images.append(load_gray_image(png))
+        rows.append(to_row(lms.filter(model_landmarks)))
+    rows = np.stack(rows)
+    ident = np.arange(len(pngs)) % n_ident
+    boxes = np.stack([gt_facebox(to_landmark_collection(r, model_landmarks))
+                      for r in rows]).astype(np.float32)
+    stack, _ = stack_images(images, dtype=np.uint8, pad_width_to=128)
+    folds = [np.nonzero(ident != k)[0] for k in range(n_ident)]
+    cfg = RcrTrainConfig(seed=0, roi=512, patch_backend="window",
+                         sampling="fast", hog_fast=True,
+                         solver_method="cholesky",
+                         feature_chunk_size=2048,
+                         mirror_augmentation=True)
+    return _loo_eval(stack, rows, boxes, folds, ident, model_landmarks,
+                     right_ids, left_ids, mean, cfg,
+                     f"leave-one-identity-out held-out IOD error "
+                     f"({n} synth images)")
 
 
 def bench_mesh(n_dev, stack, gt_rows, boxes, model_landmarks,
@@ -373,6 +468,18 @@ def main():
     log(f"best path: {best} "
         f"-> {faces_per_sec:.0f} faces/sec on {len(devices)} device(s)")
 
+    # CORE RECORD, printed NOW (VERDICT r3 item 1a): every later section
+    # re-prints the (superset) record, so a timeout at any point still
+    # leaves a valid JSON line as the last stdout line
+    out = {
+        "metric": "rcr22_faces_per_sec",
+        "value": round(faces_per_sec, 1),
+        "unit": "faces/sec",
+        "vs_baseline": round(faces_per_sec / 10000.0, 4),
+        "trainset_iod_err": round(err, 4),
+    }
+    print(json.dumps(out), flush=True)
+
     # ---- sharded fused path on real silicon (VERDICT r2 item 3):
     # shard_map(fused kernel) on a 1-device mesh must equal the
     # unsharded fused output and run at the same throughput ---- #
@@ -387,6 +494,7 @@ def main():
     dt_sf, _ = measure(detect_sf, bench_images, bench_boxes, reps=30)
     log(f"sharded fused (mesh=1): {dt_sf*1e3:.2f} ms / {batch} faces "
         f"-> {batch/dt_sf:.0f} faces/sec (equals unsharded output)")
+    out["sharded_fused_mesh1_faces_per_sec"] = round(batch / dt_sf, 1)
 
     # ---- batch-1 fit latency (the tracking scenario, VERDICT r2
     # item 6; reference prints this metric, rcr-track.cpp:146-166) ---- #
@@ -394,43 +502,48 @@ def main():
     detect_fused(img1, box1).block_until_ready()     # compile b=1
     dt_b1, _ = measure(detect_fused, img1, box1, reps=50)
     log(f"fused batch-1 fit latency: {dt_b1*1e3:.3f} ms/frame")
+    out["latency_ms_b1"] = round(dt_b1 * 1e3, 3)
+    print(json.dumps(out), flush=True)
 
     # ---------------- train seconds + held-out accuracy ---------------- #
+    # every optional section is budget-gated (VERDICT r3 item 1b) and
+    # followed by a re-print of the cumulative record
     right_ids, left_ids, mean = load_train_meta(model_landmarks)
-    train_sec = None
-    if "--skip-train" not in sys.argv:
+    if ("--skip-train" not in sys.argv
+            and budget_allows(40, "300-W train bench")):
         train_sec = bench_train_300w(stack, gt_rows, boxes, model_landmarks,
                                      right_ids, left_ids, mean)
-    heldout = heldout_worst = heldout_nomirror = None
-    if "--skip-heldout" not in sys.argv:
-        heldout_nomirror, _ = bench_heldout(
-            stack, gt_rows, boxes, model_landmarks,
-            right_ids, left_ids, mean, mirror=False)
-        # flip augmentation (VERDICT r2 item 2): the headline held-out
-        # number is the mirror-augmented one
+        out["train_sec_300w"] = round(train_sec, 2)
+        print(json.dumps(out), flush=True)
+    if ("--skip-heldout60" not in sys.argv
+            and budget_allows(90, "heldout60 leave-one-identity-out")):
+        # the headline held-out protocol (VERDICT r3 item 4): 60 synth
+        # images, leave one IDENTITY out, mirror-augmented training
+        h60, h60_worst = bench_heldout60(model_landmarks, right_ids,
+                                         left_ids, mean)
+        out["heldout60_iod_err"] = round(h60, 4)
+        out["heldout60_worst"] = round(h60_worst, 4)
+        print(json.dumps(out), flush=True)
+    if ("--skip-heldout" not in sys.argv
+            and budget_allows(100, "5-image leave-one-out folds")):
+        # flip augmentation (VERDICT r2 item 2): the headline 5-image
+        # held-out number is the mirror-augmented one
         heldout, heldout_worst = bench_heldout(
             stack, gt_rows, boxes, model_landmarks,
             right_ids, left_ids, mean, mirror=True)
+        out["heldout_iod_err"] = round(heldout, 4)
+        out["heldout_iod_err_worst_fold"] = round(heldout_worst, 4)
+        print(json.dumps(out), flush=True)
+        if budget_allows(80, "no-mirror ablation folds"):
+            heldout_nomirror, _ = bench_heldout(
+                stack, gt_rows, boxes, model_landmarks,
+                right_ids, left_ids, mean, mirror=False)
+            out["heldout_iod_err_nomirror"] = round(heldout_nomirror, 4)
     if "--mesh" in sys.argv:
         n_dev = int(sys.argv[sys.argv.index("--mesh") + 1])
         bench_mesh(n_dev, stack, gt_rows, boxes, model_landmarks,
                    right_ids, left_ids, mean, model, max_ied)
 
-    out = {
-        "metric": "rcr22_faces_per_sec",
-        "value": round(faces_per_sec, 1),
-        "unit": "faces/sec",
-        "vs_baseline": round(faces_per_sec / 10000.0, 4),
-        "trainset_iod_err": round(err, 4),
-    }
-    out["latency_ms_b1"] = round(dt_b1 * 1e3, 3)
-    out["sharded_fused_mesh1_faces_per_sec"] = round(batch / dt_sf, 1)
-    if train_sec is not None:
-        out["train_sec_300w"] = round(train_sec, 2)
-    if heldout is not None:
-        out["heldout_iod_err"] = round(heldout, 4)
-        out["heldout_iod_err_worst_fold"] = round(heldout_worst, 4)
-        out["heldout_iod_err_nomirror"] = round(heldout_nomirror, 4)
     print(json.dumps(out))
 
 
