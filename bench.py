@@ -505,6 +505,19 @@ def main():
     out["latency_ms_b1"] = round(dt_b1 * 1e3, 3)
     print(json.dumps(out), flush=True)
 
+    # ---- model families through the same fused serving path (VERDICT
+    # r3 item 3): COFW-29 and ibug-68 at the flagship 5-cell config ---- #
+    if ("--skip-families" not in sys.argv
+            and budget_allows(150, "model-family throughput (29/68 lm)")):
+        sys.path.insert(0, os.path.join(REPO, "scripts"))
+        from bench_fused_families import measure_family
+        fam = {}
+        for n_lm in (29, 68):
+            fam[f"rcr{n_lm}"] = round(measure_family(
+                n_lm, batch=batch, verify=False), 1)
+        out["families_faces_per_sec"] = fam
+        print(json.dumps(out), flush=True)
+
     # ---------------- train seconds + held-out accuracy ---------------- #
     # every optional section is budget-gated (VERDICT r3 item 1b) and
     # followed by a re-print of the cumulative record

@@ -102,23 +102,20 @@ def cpu_check(n_lm, g, path):
     np.save(path, out)
 
 
-def main():
-    if len(sys.argv) > 1 and sys.argv[1] == "--cpu-check":
-        cpu_check(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
-        return
-
-    from superviseddescent_tpu.utils.cache import enable_compilation_cache
-    enable_compilation_cache()
-
+def measure_family(n_lm, g=None, batch=4096, verify=True):
+    """Measure the fused serving path for an n_lm-landmark model at the
+    flagship 5-cell config; returns faces/sec. g=None uses the model-size
+    default (ops/cascade_pallas.py::default_faces_per_step). verify=True
+    cross-checks a small batch against CPU interpret mode in a clean
+    subprocess. Importable (bench.py "families" section)."""
     import jax
     import jax.numpy as jnp
 
-    from superviseddescent_tpu.ops.cascade_pallas import seg_packing
+    from superviseddescent_tpu.ops.cascade_pallas import (
+        default_faces_per_step, seg_packing)
     from superviseddescent_tpu.utils.timing import measure
 
-    n_lm = int(sys.argv[1]) if len(sys.argv) > 1 else 29
-    g = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    batch = int(sys.argv[3]) if len(sys.argv) > 3 else 4096
+    g = g or default_faces_per_step(n_lm)
     lps, nseg = seg_packing(n_lm, 5)
     print(f"L={n_lm} C=5: {n_lm * 5} packed lanes -> {nseg} segment(s), "
           f"G={g}, batch={batch}", flush=True)
@@ -126,26 +123,27 @@ def main():
     model, stack, boxes5 = build(n_lm)
     detect = model.make_fused_detector(roi=512, max_ied=145.0,
                                        faces_per_step=g)
-    small = 2 * g
-    sel_s = np.arange(small) % stack.shape[0]
-    imgs_s = np.asarray(stack, np.uint8)[sel_s]
-    bxs_s = boxes5[sel_s]
-    t0 = time.time()
-    out_tpu = np.asarray(detect(imgs_s, bxs_s))
-    print(f"compile+first (batch {small}): {time.time()-t0:.1f}s",
-          flush=True)
+    if verify:
+        small = 2 * g
+        sel_s = np.arange(small) % stack.shape[0]
+        imgs_s = np.asarray(stack, np.uint8)[sel_s]
+        bxs_s = boxes5[sel_s]
+        t0 = time.time()
+        out_tpu = np.asarray(detect(imgs_s, bxs_s))
+        print(f"compile+first (batch {small}): {time.time()-t0:.1f}s",
+              flush=True)
 
-    # CPU interpret reference in a clean subprocess
-    ref_path = f"/tmp/fused_fam_{n_lm}_{g}.npy"
-    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
-    subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--cpu-check",
-         str(n_lm), str(g), ref_path], check=True, env=env)
-    out_cpu = np.load(ref_path)
-    d = np.abs(out_tpu - out_cpu)
-    print(f"TPU vs CPU-interpret: max {d.max():.4f} px, "
-          f"mean {d.mean():.4f} px", flush=True)
-    assert d.max() < 0.5, "fused kernel diverged from interpret mode"
+        # CPU interpret reference in a clean subprocess
+        ref_path = f"/tmp/fused_fam_{n_lm}_{g}.npy"
+        env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpu-check",
+             str(n_lm), str(g), ref_path], check=True, env=env)
+        out_cpu = np.load(ref_path)
+        d = np.abs(out_tpu - out_cpu)
+        print(f"TPU vs CPU-interpret: max {d.max():.4f} px, "
+              f"mean {d.mean():.4f} px", flush=True)
+        assert d.max() < 0.5, "fused kernel diverged from interpret mode"
 
     # throughput at the serving batch (device-resident windows, like
     # bench.py: expand the unique images on device)
@@ -161,6 +159,21 @@ def main():
     print(f"L={n_lm} ({nseg} seg) G={g}: {dt*1e3:8.2f} ms / {batch} faces "
           f"-> {batch/dt:.0f} faces/sec (rtt {rtt*1e3:.1f} ms)",
           flush=True)
+    return batch / dt
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--cpu-check":
+        cpu_check(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+        return
+
+    from superviseddescent_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    n_lm = int(sys.argv[1]) if len(sys.argv) > 1 else 29
+    g = int(sys.argv[2]) if len(sys.argv) > 2 else None
+    batch = int(sys.argv[3]) if len(sys.argv) > 3 else 4096
+    measure_family(n_lm, g, batch)
 
 
 if __name__ == "__main__":

@@ -290,7 +290,16 @@ class HogTransform:
 
     def __call__(self, x: jnp.ndarray, level: int) -> jnp.ndarray:
         n = x.shape[0]
-        identity = self._identity_for(n)
+        return self.call_with_indices(x, level, self._indices_for(n),
+                                      identity=self._identity_for(n))
+
+    def call_with_indices(self, x: jnp.ndarray, level: int, image_indices,
+                          identity: bool = False) -> jnp.ndarray:
+        """__call__ with an explicit sample -> image map (the entry point
+        parallel/dist.py::ShardedHogTransform shard_maps: each device
+        passes its x/index shard while the image stack rides in as a
+        replicated closure constant)."""
+        n = x.shape[0]
         if (self.chunk_size is not None and n > self.chunk_size
                 and not (self.patch_method == "fused"
                          and (identity or self.frame_table is not None))):
@@ -300,16 +309,15 @@ class HogTransform:
             # only (N,) int origin rows are per-sample). A non-identity
             # windows batch still gathers one window per sample ahead of
             # the kernel, and THAT allocation must stay chunked
-            return self._call_chunked(x, level)
-        return self._call_block(x, level, self._indices_for(n),
+            return self._call_chunked(x, level, image_indices)
+        return self._call_block(x, level, image_indices,
                                 identity=identity)
 
-    def _call_chunked(self, x, level):
+    def _call_chunked(self, x, level, indices):
         """lax.map over fixed-size sample chunks: one compiled body, peak
         memory bounded by the chunk's intermediates."""
         n = x.shape[0]
         c = self.chunk_size
-        indices = self._indices_for(n)
         padded = -(-n // c) * c
         if padded != n:
             # pad with copies of row 0 (valid coordinates), dropped below
@@ -636,7 +644,8 @@ class DetectionModel:
     def make_fused_detector(self, roi: int,
                             max_ied: Optional[float] = None,
                             init: str = "facebox",
-                            faces_per_step: int = 12):
+                            faces_per_step: Optional[int] = None,
+                            g_unroll: Optional[int] = None):
         """Whole-cascade FUSED Pallas detector (ops/cascade_pallas.py):
         one kernel samples, HOG-describes and regresses all levels with
         the face window resident in VMEM — no per-level window
@@ -662,14 +671,17 @@ class DetectionModel:
         patches) — the same class as make_stepped_detector(
         sampling='fast', window_sampler=True, hog_fast=True).
         Requires a square 128-aligned roi (the window crop) sized like
-        the stepped window path; max_ied as there. faces_per_step is the
-        kernel's G (faces per grid step): the measured sweep at RCR-22
-        scale is G=8 56.6 / G=10 60.5 / G=12 54.9 ms per 3072 faces
-        (G=16 is a >30 min Mosaic compile cliff; docs/PERF_NOTES.md), so
-        12 is the default; outputs are bit-identical across G. Large
-        landmark counts (e.g. ibug-68) want a smaller G (4) to bound
-        the Mosaic compile time, which scales with G*L unrolled patch
-        samples. Batches are padded to a G multiple inside the kernel.
+        the stepped window path; max_ied as there.
+
+        faces_per_step (the kernel's G, faces per grid step) and
+        g_unroll (faces per face-loop iteration) default per model size
+        (ops/cascade_pallas.py::default_faces_per_step/default_g_unroll).
+        Since round 4 the kernel's face loop is a fori_loop, so Mosaic
+        compile time scales with levels x L x g_unroll emitted sampler
+        bodies — NOT with G x L as before: RCR-22 compiles in ~50-75 s
+        cold (was 419 s) at the same 55k faces/s, and ibug-68 no longer
+        needs a tiny G. Outputs are bit-identical across G and g_unroll;
+        batches are padded to a G multiple inside the kernel.
         """
         from superviseddescent_tpu.ops.cascade_pallas import (
             FRAME_COL_ALIGN, FRAME_ROW_ALIGN, SEG, detect_cascade_fused,
@@ -797,7 +809,7 @@ class DetectionModel:
                 images, idx, oy, ox, x0_img - shift, weights_perm,
                 window_shape, levels, cell_sizes, p0.num_bins, dims,
                 tuple(r_idx), tuple(l_idx),
-                faces_per_step=faces_per_step)
+                faces_per_step=faces_per_step, g_unroll=g_unroll)
             return out + shift
 
         @jax.jit
@@ -812,7 +824,7 @@ class DetectionModel:
             out = detect_cascade_fused(
                 windows, x0_img - shift, weights_perm, levels, cell_sizes,
                 p0.num_bins, dims, tuple(r_idx), tuple(l_idx),
-                faces_per_step=faces_per_step)
+                faces_per_step=faces_per_step, g_unroll=g_unroll)
             return out + shift
 
         @jax.jit
@@ -834,7 +846,7 @@ class DetectionModel:
             out = detect_cascade_fused(
                 windows, rows - shift, weights_perm, levels, cell_sizes,
                 p0.num_bins, dims, tuple(r_idx), tuple(l_idx),
-                faces_per_step=faces_per_step)
+                faces_per_step=faces_per_step, g_unroll=g_unroll)
             return out + shift
 
         return (run_fused_from_landmarks if init == "landmarks"

@@ -390,6 +390,14 @@ def train_rcr(images, groundtruth_rows, faceboxes,
                        hog_fast=config.hog_fast,
                        frame_table=frame_table,
                        frame_window=frame_window)
+    if mesh is not None and hog.patch_method in ("window", "fused"):
+        # Pallas extraction kernels are GSPMD-opaque: under plain jit
+        # they would replicate rather than split over the mesh. Wrap the
+        # extraction in an explicit per-shard shard_map (images/frame
+        # table replicated, x/indices batch-sharded) so mesh training
+        # composes with the memory-scalable backends (VERDICT r3 item 5).
+        from superviseddescent_tpu.parallel.dist import ShardedHogTransform
+        hog = ShardedHogTransform(hog, mesh)
     norm = InterEyeDistanceNormalisation(model_landmarks, right_eye_ids,
                                          left_eye_ids)
     regressors = [LinearRegressor(regulariser=config.regularisation,

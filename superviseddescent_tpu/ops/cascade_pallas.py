@@ -74,6 +74,40 @@ from superviseddescent_tpu.ops.patches_pallas import (
 
 SEG = 128          # lane segment per landmark / per feature-row block
 
+#: landmark counts up to this sample with a statically unrolled landmark
+#: loop (compile cost ~ 4 x L bodies x g_unroll, NOT x G); above it the
+#: loop rolls into a fori_loop with one emitted body (one-hot scalar
+#: extraction + dynamic pwide stores) so compile stays O(1) in L
+LM_STATIC_MAX = 96
+
+
+def default_g_unroll(num_landmarks: int) -> int:
+    """Faces per face-loop iteration (the compile/throughput knob).
+
+    Measured v5e frontier at RCR-22, batch 3072 (scripts/probe_fused_g):
+    each fori back-edge costs ~0.3 us, so throughput scales with
+    batch x levels / g_unroll back-edges while Mosaic compile time
+    scales with ~4 x L x g_unroll emitted sampler bodies:
+
+      g_unroll=1  59.3 ms  12 s compile     (fully rolled)
+      g_unroll=4  54.7 ms  73 s  (G=32)     <- default, beats the old
+      old kernel  54.9 ms  419 s (G=12)        fully-unrolled design
+
+    Large landmark counts halve the unroll to keep the compile budget
+    (ibug-68 at 4 x 68 x 2 bodies compiles in minutes, not the old
+    >30 min cliff that forced G=4)."""
+    return 4 if num_landmarks <= 32 else 2
+
+
+def default_faces_per_step(num_landmarks: int) -> int:
+    """G (faces per grid step) no longer affects compile time, only VMEM
+    footprint and amortisation: bigger G amortises the batched HOG tail
+    and the GEMV M-tile (measured @3072: G=12 56.6 / G=16 55.6 /
+    G=24 55.2 / G=32 54.7 ms at g_unroll=4). 68-landmark models halve G
+    to keep the VMEM-resident weight tuple + window scratch under the
+    100 MB budget."""
+    return 32 if num_landmarks <= 32 else 16
+
 
 def seg_packing(num_landmarks: int, num_cells: int):
     """Multi-segment lane packing: (landmarks_per_segment, num_segments).
@@ -225,139 +259,216 @@ def permute_weights(weights: np.ndarray, num_landmarks: int,
     return out
 
 
-def _face_features(win_ref, g, x_row, wx_ref, wy_ref,
-                   gscr, pscr, bscr, *, li, s, w, wx, ry_n, rx_n,
-                   num_landmarks, o_count, g_faces, rel_patch, cell_size,
-                   r_idx, l_idx, probe=None):
-    """Sample + splat-describe one face's level: the L landmark patches
-    are sampled, gradient-binned and cell-splatted, and the face's
-    (2O*C, SEG) pre-normalisation cell histograms land in the batched-
-    tail scratch bscr (plane-major, BR-row face blocks — _hog_tail
-    finishes the normalisation/channel math for all G faces at once).
-    x_row: (2L,) f32, WINDOW space. Returns the face's IED (needed to
-    scale the batched GEMV update).
+def _sample_level_batch(win_ref, x_ref, iedscr, wx_ref, wy_ref,
+                        gscr, pscr, pwide, bscr, *, li, s, w, wx, ry_n,
+                        rx_n, num_landmarks, o_count, g_faces, rel_patch,
+                        cell_size, r_idx, l_idx, g_unroll=1, probe=None):
+    """Sample + splat-describe ONE level for ALL G faces of the grid
+    step, with fori_loops over faces and landmarks so the compiled body
+    count is INDEPENDENT of G and L (VERDICT r3 item 2: the unrolled
+    G x L sampler bodies made Mosaic compile time scale 151/238/419 s at
+    G=8/10/12 and forced ibug-68 down to G=4). Per landmark, the x
+    scalars are extracted with a one-hot lane reduction (dynamic lane
+    extracts are illegal on Mosaic), the patch is sampled from a
+    dynamically indexed face window, and the (S, SEG) transposed patch
+    lands at pwide[lm] — a dynamic-leading-index store. After the
+    landmark loop, L static copies compact pwide into the stride-S
+    lane-packed pscr the HOG chain reads (the chain itself is emitted
+    once per level; all ops probed on v5e Mosaic, scripts/probe_dyn.py).
+
+    x_ref: (G, 1, 2L) f32 ref (input block or the cascade's xcur
+    scratch), WINDOW coordinates. Per-face IEDs land in iedscr (G, 1, 1)
+    for the caller's batched GEMV update.
 
     probe: measurement hook (scripts/probe_fused.py) — 'sample' stops
     after the patch-sampling loop (stage-ablation timing); output is
     garbage in probe modes."""
     l = num_landmarks
+    l2 = 2 * l
     c = hog_num_cells(s, cell_size)
     lp = l * s          # compact patch lanes: landmark stride = S
+    br = _block_rows(c)
+    gb = g_faces * br
 
-    # ---- IED + patch half (scalar extracts from the x vector) ---- #
-    rex = sum(x_row[i] for i in r_idx) / len(r_idx)
-    rey = sum(x_row[i + l] for i in r_idx) / len(r_idx)
-    lex = sum(x_row[i] for i in l_idx) / len(l_idx)
-    ley = sum(x_row[i + l] for i in l_idx) / len(l_idx)
-    ied = jnp.sqrt((rex - lex) ** 2 + (rey - ley) ** 2)
-    phw = jnp.maximum(jnp.floor(rel_patch * ied / 2.0 + 0.5), 1.0)
     ph_cap = max_patch_half(w)
     if wx != rx_n:
         ph_cap = min(ph_cap, max_patch_half_x(wx))
-    phw = jnp.minimum(phw, ph_cap)
-    st = 2.0 * phw / s
 
     j = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0).astype(jnp.float32)
-    src = jnp.clip((j + 0.5) * st - 0.5, 0.0, 2.0 * phw - 1.0)   # (S,1)
-    src0 = src[0, 0]
-    uy = jax.lax.broadcasted_iota(jnp.int32, (s, w), 1).astype(jnp.float32)
+    # padded row iota for the (SEG, W) y-tent: rows >= s are masked to
+    # zero so the sampler's second dot emits the (S, SEG) stored tile
+    # directly (the MXU pads its N axis to 128 anyway — free)
+    jp = jax.lax.broadcasted_iota(jnp.int32, (SEG, 1), 0)
+    jpf = jp.astype(jnp.float32)
+    uy = jax.lax.broadcasted_iota(jnp.int32, (SEG, w), 1).astype(jnp.float32)
+    uy_s = jax.lax.broadcasted_iota(jnp.int32, (s, w), 1).astype(jnp.float32)
     ux = jax.lax.broadcasted_iota(jnp.int32, (s, wx), 1).astype(jnp.float32)
-
-    # ---- sample the L patches into the lane-packed scratch ---- #
-    for lm in range(l):
-        cxs = jnp.round(x_row[lm])
-        cys = jnp.round(x_row[lm + l])
-        by = cys - phw
-        bx = cxs - phw
-        oy = jnp.clip(jnp.floor(by + src0), 0.0, float(ry_n - w)
-                      ).astype(jnp.int32)
-        oy = pl.multiple_of((oy // SUBLANE_ALIGN) * SUBLANE_ALIGN,
-                            SUBLANE_ALIGN)
-        if wx == rx_n:
-            sub = win_ref[g, pl.ds(oy, w), :]                   # (W, RX)
-            ox = jnp.float32(0.0)
-        else:
-            oxi = jnp.clip(jnp.floor(bx + src0), 0.0, float(rx_n - wx)
-                           ).astype(jnp.int32)
-            oxi = pl.multiple_of((oxi // LANE_ALIGN) * LANE_ALIGN,
-                                 LANE_ALIGN)
-            sub = win_ref[g, pl.ds(oy, w), pl.ds(oxi, wx)]      # (W, WX)
-            ox = oxi.astype(jnp.float32)
-
-        cyv = by + src - oy.astype(jnp.float32)                 # (S,1)
-        cxv = bx + src - ox
-        ty = jnp.maximum(0.0, 1.0 - jnp.abs(cyv - uy)).astype(jnp.bfloat16)
-        tx = jnp.maximum(0.0, 1.0 - jnp.abs(cxv - ux)).astype(jnp.bfloat16)
-        # transposed order: q = tx . sub^T (S, W); patch^T = q . ty^T
-        q = jax.lax.dot_general(
-            tx, sub, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        patch = jax.lax.dot_general(
-            q.astype(jnp.bfloat16), ty, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)                 # (S, S)
-        patch = jnp.clip(jnp.floor(patch + 0.5), 0.0, 255.0)
-        pscr[0:s, lm * s:(lm + 1) * s] = patch.astype(jnp.bfloat16)
-
-    if probe == "sample":
-        return ied
-
-    # ---- HOG over all L patches at once: (S, L*S) lane-packed ---- #
-    img = pscr[0:s, 0:lp].astype(jnp.float32)                   # (S, LP)
-    zrow = jnp.zeros((1, lp), jnp.float32)
-    # x-gradient: sublane shifts via slice+concat; border rows are
-    # zero-splat so their values are moot
-    gx = jnp.concatenate([zrow, img[2:s, :] - img[0:s - 2, :], zrow], 0)
-    # y-gradient: lane rolls; segment-crossing wraps land on zero-weight
-    # border pixels (and zero pad lanes), so no masking is needed
-    gy = pltpu.roll(img, lp - 1, 1) - pltpu.roll(img, 1, 1)
-    grad = jnp.sqrt(gx * gx + gy * gy)
-
-    # fast sector classification (ops/hog_pallas_flat.py fast mode)
-    ax = jnp.abs(gx)
-    ay = jnp.abs(gy)
-    px = gx >= 0
-    py = gy >= 0
-    bin_h = jnp.where(px, 0, 4)
-    bin_v = jnp.where(py, 2, 6)
-    bin_d = jnp.where(px == py, jnp.where(px, 1, 5), jnp.where(py, 3, 7))
-    t_lo = 0.41421356237   # tan(pi/8)
-    t_hi = 2.41421356237   # tan(3*pi/8)
-    best_bin = jnp.where(ay < ax * t_lo, bin_h,
-                         jnp.where(ay > ax * t_hi, bin_v, bin_d))
-
-    for o in range(2 * o_count):
-        gscr[o * s:(o + 1) * s, 0:lp] = jnp.where(
-            best_bin == o, grad, 0.0).astype(jnp.bfloat16)
-
-    # separable splat: per-plane x-tent contractions (2O small dots —
-    # a single (2O*S, 2O*C) block-diagonal dot was MEASURED no faster,
-    # 75.5 -> 77.2 ms at the bench config: Mosaic pipelines the small
-    # dots well enough that the 8x zero-block flops buy nothing), then
-    # ONE per-landmark block-diag y contraction
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, l2), 1)
     w1x = wx_ref[li, 0:s, :].astype(jnp.bfloat16)               # (S, C)
-    planes = [jax.lax.dot_general(
-        w1x, gscr[o * s:(o + 1) * s, 0:lp],
-        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        for o in range(2 * o_count)]                            # (C, LP) each
-    a_all = jnp.concatenate(planes, axis=0)                     # (2OC, LP)
-    b_all = jax.lax.dot_general(                                # (2OC, SEG)
-        a_all.astype(jnp.bfloat16), wy_ref[li, 0:lp, :].astype(jnp.bfloat16),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
-    # ---- scatter into the batched-tail scratch ---- #
-    # bscr is plane-major: plane k's G face blocks live at sublane rows
-    # [k*G*BR + g*BR, ... + C) (BR = C padded to the sublane tile, so
-    # every store starts tile-aligned). The per-face tail math used to
-    # run here on (C, SEG) = (3, 128) tiles — hundreds of single-tile
-    # ops per face made the HOG stage op-issue-bound (PERF_NOTES stage
-    # ablation); _hog_tail now runs it once per grid step on (G*BR, SEG)
-    # operands.
-    br = _block_rows(c)
-    gb = g_faces * br
-    for k in range(2 * o_count):
-        bscr[k * gb + g * br:k * gb + g * br + c, :] = \
-            b_all[k * c:(k + 1) * c, :]
-    return ied
+    def one_face(g):
+        row = x_ref[g]                                          # (1, 2L)
+
+        # ---- IED + patch half (static extracts from the x row) ---- #
+        rex = sum(row[0, i] for i in r_idx) / len(r_idx)
+        rey = sum(row[0, i + l] for i in r_idx) / len(r_idx)
+        lex = sum(row[0, i] for i in l_idx) / len(l_idx)
+        ley = sum(row[0, i + l] for i in l_idx) / len(l_idx)
+        ied = jnp.sqrt((rex - lex) ** 2 + (rey - ley) ** 2)
+        iedscr[g] = jnp.full((1, 1), ied, jnp.float32)
+        phw = jnp.maximum(jnp.floor(rel_patch * ied / 2.0 + 0.5), 1.0)
+        phw = jnp.minimum(phw, ph_cap)
+        st = 2.0 * phw / s
+
+        src = jnp.clip((j + 0.5) * st - 0.5, 0.0, 2.0 * phw - 1.0)  # (S,1)
+        src0 = src[0, 0]
+        srcp = jnp.clip((jpf + 0.5) * st - 0.5, 0.0, 2.0 * phw - 1.0)
+
+        def sample_patch(cxs, cys, padded):
+            """One landmark's transposed-patch sampling. padded=True
+            emits an (S, SEG) tile (SEG-row y-tent, rows >= s masked)
+            for the dynamic pwide store; padded=False the plain (S, S)
+            tile for a static pscr store. Identical values either way —
+            the MXU pads its N axis to 128 regardless."""
+            by = cys - phw
+            bx = cxs - phw
+            oy = jnp.clip(jnp.floor(by + src0), 0.0, float(ry_n - w)
+                          ).astype(jnp.int32)
+            oy = pl.multiple_of((oy // SUBLANE_ALIGN) * SUBLANE_ALIGN,
+                                SUBLANE_ALIGN)
+            if wx == rx_n:
+                sub = win_ref[g, pl.ds(oy, w), :]               # (W, RX)
+                ox = jnp.float32(0.0)
+            else:
+                oxi = jnp.clip(jnp.floor(bx + src0), 0.0, float(rx_n - wx)
+                               ).astype(jnp.int32)
+                oxi = pl.multiple_of((oxi // LANE_ALIGN) * LANE_ALIGN,
+                                     LANE_ALIGN)
+                sub = win_ref[g, pl.ds(oy, w), pl.ds(oxi, wx)]  # (W, WX)
+                ox = oxi.astype(jnp.float32)
+
+            cxv = bx + src - ox                                 # (S,1)
+            tx = jnp.maximum(0.0, 1.0 - jnp.abs(cxv - ux)
+                             ).astype(jnp.bfloat16)             # (S, WX)
+            if padded:
+                cyv = by + srcp - oy.astype(jnp.float32)        # (SEG,1)
+                ty = jnp.where(jp < s,
+                               jnp.maximum(0.0, 1.0 - jnp.abs(cyv - uy)),
+                               0.0).astype(jnp.bfloat16)        # (SEG, W)
+            else:
+                cyv = by + src - oy.astype(jnp.float32)         # (S,1)
+                ty = jnp.maximum(0.0, 1.0 - jnp.abs(cyv - uy_s)
+                                 ).astype(jnp.bfloat16)         # (S, W)
+            # transposed order: q = tx . sub^T (S, W); patch^T = q . ty^T
+            q = jax.lax.dot_general(
+                tx, sub, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            patch = jax.lax.dot_general(
+                q.astype(jnp.bfloat16), ty, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            patch = jnp.clip(jnp.floor(patch + 0.5), 0.0, 255.0)
+            return patch.astype(jnp.bfloat16)
+
+        # ---- sample the L patches ---- #
+        if l <= LM_STATIC_MAX:
+            # statically unrolled landmarks (compile cost ~ 4 x L bodies,
+            # NOT x G — the face loop stays a fori): static x extracts,
+            # direct stride-S stores, no pwide round-trip
+            for lm in range(l):
+                pscr[0:s, lm * s:(lm + 1) * s] = sample_patch(
+                    jnp.round(row[0, lm]), jnp.round(row[0, lm + l]),
+                    False)
+        else:
+            # rolled landmark loop (body emitted ONCE; compile O(1)
+            # in L): x scalars via one-hot lane reductions, patches via
+            # dynamic-leading pwide stores + L static compaction copies
+            def lm_body(lm, _):
+                cxs = jnp.round(jnp.sum(jnp.where(iota_l == lm, row, 0.0)))
+                cys = jnp.round(jnp.sum(jnp.where(iota_l == lm + l, row,
+                                                  0.0)))
+                pwide[lm, 0:s, :] = sample_patch(cxs, cys, True)
+                return 0
+
+            jax.lax.fori_loop(0, l, lm_body, 0, unroll=False)
+            # compact the SEG-stride landings into the stride-S packing
+            # (static unaligned lane stores are legal; L copies per level)
+            for lm in range(l):
+                pscr[0:s, lm * s:(lm + 1) * s] = pwide[lm, 0:s, 0:s]
+
+        if probe == "sample":
+            return 0
+
+        # ---- HOG over all L patches at once: (S, L*S) lane-packed ---- #
+        img = pscr[0:s, 0:lp].astype(jnp.float32)               # (S, LP)
+        zrow = jnp.zeros((1, lp), jnp.float32)
+        # x-gradient: sublane shifts via slice+concat; border rows are
+        # zero-splat so their values are moot
+        gx = jnp.concatenate([zrow, img[2:s, :] - img[0:s - 2, :], zrow], 0)
+        # y-gradient: lane rolls; segment-crossing wraps land on
+        # zero-weight border pixels (and zero pad lanes) — no masking
+        gy = pltpu.roll(img, lp - 1, 1) - pltpu.roll(img, 1, 1)
+        grad = jnp.sqrt(gx * gx + gy * gy)
+
+        # fast sector classification (ops/hog_pallas_flat.py fast mode)
+        ax = jnp.abs(gx)
+        ay = jnp.abs(gy)
+        px = gx >= 0
+        py = gy >= 0
+        bin_h = jnp.where(px, 0, 4)
+        bin_v = jnp.where(py, 2, 6)
+        bin_d = jnp.where(px == py, jnp.where(px, 1, 5),
+                          jnp.where(py, 3, 7))
+        t_lo = 0.41421356237   # tan(pi/8)
+        t_hi = 2.41421356237   # tan(3*pi/8)
+        best_bin = jnp.where(ay < ax * t_lo, bin_h,
+                             jnp.where(ay > ax * t_hi, bin_v, bin_d))
+
+        for o in range(2 * o_count):
+            gscr[o * s:(o + 1) * s, 0:lp] = jnp.where(
+                best_bin == o, grad, 0.0).astype(jnp.bfloat16)
+
+        # separable splat: per-plane x-tent contractions (2O small dots —
+        # a single (2O*S, 2O*C) block-diagonal dot was MEASURED no
+        # faster, 75.5 -> 77.2 ms at the bench config), then ONE
+        # per-landmark block-diag y contraction
+        planes = [jax.lax.dot_general(
+            w1x, gscr[o * s:(o + 1) * s, 0:lp],
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            for o in range(2 * o_count)]                        # (C, LP)
+        a_all = jnp.concatenate(planes, axis=0)                 # (2OC, LP)
+        b_all = jax.lax.dot_general(                            # (2OC, NS)
+            a_all.astype(jnp.bfloat16),
+            wy_ref[li, 0:lp, :].astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+        # ---- scatter into the batched-tail scratch ---- #
+        # bscr is plane-major: plane k's G face blocks live at sublane
+        # rows [k*G*BR + g*BR, ... + C) (BR = C padded to the sublane
+        # tile, so every dynamic store start is provably tile-aligned).
+        # _hog_tail runs the normalisation/channel math once per grid
+        # step on (G*BR, NS) operands (the per-face variant measured
+        # op-issue-bound, PERF_NOTES stage ablation).
+        for k in range(2 * o_count):
+            off = pl.multiple_of(k * gb + g * br, SUBLANE_ALIGN)
+            bscr[pl.ds(off, c), :] = b_all[k * c:(k + 1) * c, :]
+
+    # fori back-edges cost ~0.3 us each on v5e (measured: the fully
+    # rolled kernel lost exactly back_edges x 0.3 us vs the unrolled
+    # one), so the face loop processes g_unroll faces per iteration:
+    # compiled body count scales with g_unroll (NOT with G), back-edge
+    # count with G / g_unroll — a tunable continuum between the old
+    # fully-unrolled kernel (compile minutes) and the fully rolled one
+    # (~12 s compile, -8% throughput). See default_g_unroll.
+    ku = min(g_unroll, g_faces)
+    while g_faces % ku:
+        ku -= 1
+
+    def face_group(gq, _):
+        for dj in range(ku):
+            one_face(gq * ku + dj)
+        return 0
+
+    jax.lax.fori_loop(0, g_faces // ku, face_group, 0, unroll=False)
 
 
 def _hog_tail(bscr, cscr, fscr, rx_ref, ry_ref, *, g_faces, c, o_count,
@@ -438,12 +549,16 @@ def _hog_tail(bscr, cscr, fscr, rx_ref, ry_ref, *, g_faces, c, o_count,
 
 def _cascade_body(x0_ref, win_ref, w_refs,
                   wx_ref, wy_ref, rx_ref, ry_ref, o_ref,
-                  gscr, pscr, fscr, bscr, cscr, *,
+                  gscr, pscr, pwide, fscr, bscr, cscr, xcur, iedscr, *,
                   levels, g_faces, ry_n, rx_n, num_landmarks, o_count,
-                  dims, cell_sizes, r_idx, l_idx, probe=None):
+                  dims, cell_sizes, r_idx, l_idx, g_unroll=1,
+                  probe=None):
     """The shared cascade loop: win_ref is any (G, RY, RX) bf16 ref —
     a pipelined input block (_cascade_kernel) or the in-kernel-cropped
-    window scratch (_cascade_frames_kernel)."""
+    window scratch (_cascade_frames_kernel). The landmark rows live in
+    the xcur scratch between levels (the sampler's face fori_loop needs
+    a dynamically indexable ref, not per-face values); per-level updates
+    are one static vector op over all G faces."""
     c = hog_num_cells(levels[0][0], cell_sizes[0])
     # bias segment (the LAST SEG lanes): ones, once (every other segment
     # is fully rewritten per level per face)
@@ -456,16 +571,14 @@ def _cascade_body(x0_ref, win_ref, w_refs,
     def _init_bscr():
         bscr[:, :] = jnp.zeros(bscr.shape, jnp.float32)
 
-    x_rows = [x0_ref[g, 0, :] for g in range(g_faces)]          # (2L,) each
+    xcur[:, :, :] = x0_ref[:, :, :]
     for li, (s, w, wx, rel) in enumerate(levels):
-        ieds = []
-        for g in range(g_faces):
-            ieds.append(_face_features(
-                win_ref, g, x_rows[g], wx_ref, wy_ref,
-                gscr, pscr, bscr, li=li, s=s, w=w, wx=wx, ry_n=ry_n,
-                rx_n=rx_n, num_landmarks=num_landmarks, o_count=o_count,
-                g_faces=g_faces, rel_patch=rel, cell_size=cell_sizes[li],
-                r_idx=r_idx, l_idx=l_idx, probe=probe))
+        _sample_level_batch(
+            win_ref, xcur, iedscr, wx_ref, wy_ref, gscr, pscr, pwide,
+            bscr, li=li, s=s, w=w, wx=wx, ry_n=ry_n, rx_n=rx_n,
+            num_landmarks=num_landmarks, o_count=o_count,
+            g_faces=g_faces, rel_patch=rel, cell_size=cell_sizes[li],
+            r_idx=r_idx, l_idx=l_idx, g_unroll=g_unroll, probe=probe)
         if probe == "sample":
             continue
         _hog_tail(bscr, cscr, fscr, rx_ref, ry_ref, g_faces=g_faces,
@@ -481,43 +594,34 @@ def _cascade_body(x0_ref, win_ref, w_refs,
             preferred_element_type=jnp.float32)                 # (G, 2L)
         # norm is 1/IED (model.hpp:94-98): dividing the update by it
         # means multiplying by the IED (superviseddescent.hpp:337-341)
-        for g in range(g_faces):
-            x_rows[g] = x_rows[g] - upd[g, :] * ieds[g]
-    for g in range(g_faces):
-        o_ref[g, 0, :] = x_rows[g]
+        xcur[:, 0, :] = xcur[:, 0, :] - upd * iedscr[:, 0, :]
+    o_ref[:, :, :] = xcur[:, :, :]
 
 
 def _cascade_kernel(x0_ref, win_ref, w0, w1, w2, w3,
                     wx_ref, wy_ref, rx_ref, ry_ref, o_ref,
-                    gscr, pscr, fscr, bscr, cscr, *,
+                    gscr, pscr, pwide, fscr, bscr, cscr, xcur, iedscr, *,
                     levels, g_faces, ry_n, rx_n, num_landmarks, o_count,
-                    dims, cell_sizes, r_idx, l_idx, probe=None):
+                    dims, cell_sizes, r_idx, l_idx, g_unroll=1,
+                    probe=None):
     _cascade_body(x0_ref, win_ref, [w0, w1, w2, w3][:len(levels)],
                   wx_ref, wy_ref, rx_ref, ry_ref, o_ref,
-                  gscr, pscr, fscr, bscr, cscr,
+                  gscr, pscr, pwide, fscr, bscr, cscr, xcur, iedscr,
                   levels=levels, g_faces=g_faces, ry_n=ry_n, rx_n=rx_n,
                   num_landmarks=num_landmarks, o_count=o_count, dims=dims,
                   cell_sizes=cell_sizes, r_idx=r_idx, l_idx=l_idx,
-                  probe=probe)
+                  g_unroll=g_unroll, probe=probe)
 
 
-def _cascade_frames_kernel(idx_ref, oy_ref, ox_ref, x0_ref, frames_ref,
-                           w0, w1, w2, w3,
-                           wx_ref, wy_ref, rx_ref, ry_ref, o_ref,
-                           u8scr, winscr, gscr, pscr, fscr, bscr, cscr,
-                           dsems, *,
-                           levels, g_faces, ry_n, rx_n, num_landmarks,
-                           o_count, dims, cell_sizes, r_idx, l_idx,
-                           probe=None):
-    """Cascade kernel with the window crop fused IN: per grid step, the
-    G faces' uint8 windows are DMA'd straight out of the HBM-resident
-    frame stack at per-face (frame, row, col) origins — the XLA crop
-    prologue (per-face gather + bf16 window write + kernel re-read,
-    ~18 ms/batch-4096, PERF_NOTES) disappears, and the window traffic
-    the kernel does read is uint8, half the bf16 bytes. The u8 -> f32
-    cast chain (u8 cannot cast straight to bf16 on Mosaic) runs once
-    per face per step and is amortised over all cascade levels."""
+def _crop_windows_dma(idx_ref, oy_ref, ox_ref, frames_ref, u8scr, winscr,
+                      dsems, g_faces):
+    """In-kernel window crop: DMA the G faces' uint8 windows straight
+    out of the HBM-resident frame stack at per-face (frame, row, col)
+    origins, then run the u8 -> f32 -> bf16 cast chain (u8 cannot cast
+    straight to bf16 on Mosaic). fori_loops keep the emitted body count
+    independent of G."""
     step = pl.program_id(0)
+    ry_n, rx_n = u8scr.shape[1], u8scr.shape[2]
 
     def _src(g):
         # the caller aligned the origins to the FRAME_*_ALIGN grains;
@@ -527,25 +631,49 @@ def _cascade_frames_kernel(idx_ref, oy_ref, ox_ref, x0_ref, frames_ref,
         return frames_ref.at[idx_ref[step, g], pl.ds(oyv, ry_n),
                              pl.ds(oxv, rx_n)]
 
-    for g in range(g_faces):
+    def _start(g, _):
         pltpu.make_async_copy(_src(g), u8scr.at[g], dsems.at[g]).start()
-    for g in range(g_faces):
+        return 0
+
+    def _wait(g, _):
         pltpu.make_async_copy(_src(g), u8scr.at[g], dsems.at[g]).wait()
         winscr[g, :, :] = u8scr[g, :, :].astype(jnp.int32).astype(
             jnp.float32).astype(jnp.bfloat16)
+        return 0
+
+    jax.lax.fori_loop(0, g_faces, _start, 0, unroll=False)
+    jax.lax.fori_loop(0, g_faces, _wait, 0, unroll=False)
+
+
+def _cascade_frames_kernel(idx_ref, oy_ref, ox_ref, x0_ref, frames_ref,
+                           w0, w1, w2, w3,
+                           wx_ref, wy_ref, rx_ref, ry_ref, o_ref,
+                           u8scr, winscr, gscr, pscr, pwide, fscr, bscr,
+                           cscr, xcur, iedscr, dsems, *,
+                           levels, g_faces, ry_n, rx_n, num_landmarks,
+                           o_count, dims, cell_sizes, r_idx, l_idx,
+                           g_unroll=1, probe=None):
+    """Cascade kernel with the window crop fused IN: per grid step, the
+    G faces' uint8 windows are DMA'd straight out of the HBM-resident
+    frame stack at per-face (frame, row, col) origins — the XLA crop
+    prologue (per-face gather + bf16 window write + kernel re-read,
+    ~18 ms/batch-4096, PERF_NOTES) disappears, and the window traffic
+    the kernel does read is uint8, half the bf16 bytes."""
+    _crop_windows_dma(idx_ref, oy_ref, ox_ref, frames_ref, u8scr, winscr,
+                      dsems, g_faces)
     _cascade_body(x0_ref, winscr, [w0, w1, w2, w3][:len(levels)],
                   wx_ref, wy_ref, rx_ref, ry_ref, o_ref,
-                  gscr, pscr, fscr, bscr, cscr,
+                  gscr, pscr, pwide, fscr, bscr, cscr, xcur, iedscr,
                   levels=levels, g_faces=g_faces, ry_n=ry_n, rx_n=rx_n,
                   num_landmarks=num_landmarks, o_count=o_count, dims=dims,
                   cell_sizes=cell_sizes, r_idx=r_idx, l_idx=l_idx,
-                  probe=probe)
+                  g_unroll=g_unroll, probe=probe)
 
 
 def _features_kernel(x0_ref, win_ref, wx_ref, wy_ref, rx_ref, ry_ref,
-                     o_ref, gscr, pscr, bscr, cscr, *,
+                     o_ref, gscr, pscr, pwide, bscr, cscr, iedscr, *,
                      level, g_faces, ry_n, rx_n, num_landmarks, o_count,
-                     dims, cell_size, r_idx, l_idx):
+                     dims, cell_size, r_idx, l_idx, g_unroll=1):
     """One level's fused sample+HOG feature extraction for G faces per
     grid step; feature rows land directly in the output block (which
     plays the fscr role of _hog_tail)."""
@@ -558,20 +686,19 @@ def _features_kernel(x0_ref, win_ref, wx_ref, wy_ref, rx_ref, ry_ref,
     def _init_bscr():
         bscr[:, :] = jnp.zeros(bscr.shape, jnp.float32)
 
-    for g in range(g_faces):
-        _face_features(
-            win_ref, g, x0_ref[g, 0, :], wx_ref, wy_ref,
-            gscr, pscr, bscr, li=0, s=s, w=w, wx=wx, ry_n=ry_n,
-            rx_n=rx_n, num_landmarks=num_landmarks, o_count=o_count,
-            g_faces=g_faces, rel_patch=rel, cell_size=cell_size,
-            r_idx=r_idx, l_idx=l_idx)
+    _sample_level_batch(
+        win_ref, x0_ref, iedscr, wx_ref, wy_ref, gscr, pscr, pwide,
+        bscr, li=0, s=s, w=w, wx=wx, ry_n=ry_n, rx_n=rx_n,
+        num_landmarks=num_landmarks, o_count=o_count, g_faces=g_faces,
+        rel_patch=rel, cell_size=cell_size, r_idx=r_idx, l_idx=l_idx,
+        g_unroll=g_unroll)
     _hog_tail(bscr, cscr, o_ref, rx_ref, ry_ref, g_faces=g_faces,
               c=c, o_count=o_count, dims=dims)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "level", "cell_size", "num_orientations", "dims", "r_idx", "l_idx",
-    "faces_per_step", "interpret"))
+    "faces_per_step", "g_unroll", "interpret"))
 def extract_features_fused(windows: jnp.ndarray,
                            x: jnp.ndarray,
                            level,
@@ -580,7 +707,8 @@ def extract_features_fused(windows: jnp.ndarray,
                            dims: int,
                            r_idx,
                            l_idx,
-                           faces_per_step: int = 8,
+                           faces_per_step: int = None,
+                           g_unroll: int = None,
                            interpret: bool = False) -> jnp.ndarray:
     """Fused sample+HOG feature extraction for ONE cascade level (the
     training hot loop): per-face windows in, (N, (D*C*NSEG+1)*SEG) padded
@@ -598,6 +726,10 @@ def extract_features_fused(windows: jnp.ndarray,
     n, ry_n, rx_n = windows.shape
     l2 = x.shape[1]
     l = l2 // 2
+    if faces_per_step is None:
+        faces_per_step = default_faces_per_step(l)
+    if g_unroll is None:
+        g_unroll = default_g_unroll(l)
     g = min(faces_per_step, n)
     if windows.dtype != jnp.bfloat16:
         windows = windows.astype(jnp.bfloat16)
@@ -618,7 +750,8 @@ def extract_features_fused(windows: jnp.ndarray,
     kernel = functools.partial(
         _features_kernel, level=tuple(level), g_faces=g, ry_n=ry_n,
         rx_n=rx_n, num_landmarks=l, o_count=num_orientations, dims=dims,
-        cell_size=cell_size, r_idx=tuple(r_idx), l_idx=tuple(l_idx))
+        cell_size=cell_size, r_idx=tuple(r_idx), l_idx=tuple(l_idx),
+        g_unroll=g_unroll)
 
     const_spec = lambda shape: pl.BlockSpec(        # noqa: E731
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
@@ -641,9 +774,11 @@ def extract_features_fused(windows: jnp.ndarray,
         scratch_shapes=[
             pltpu.VMEM((2 * num_orientations * s, lp), jnp.bfloat16),
             pltpu.VMEM((s, lp), jnp.bfloat16),
+            pltpu.VMEM((l, s, SEG), jnp.bfloat16),
             pltpu.VMEM((2 * num_orientations * g * br, nseg * SEG),
                        jnp.float32),
             pltpu.VMEM((g * br, dims * nseg * SEG), jnp.float32),
+            pltpu.VMEM((g, 1, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -663,53 +798,42 @@ FRAME_COL_ALIGN = 128
 
 def _features_frames_kernel(idx_ref, oy_ref, ox_ref, x0_ref, frames_ref,
                             wx_ref, wy_ref, rx_ref, ry_ref, o_ref,
-                            u8scr, winscr, gscr, pscr, bscr, cscr, dsems,
+                            u8scr, winscr, gscr, pscr, pwide, bscr, cscr,
+                            iedscr, dsems,
                             *, level, g_faces, ry_n, rx_n, num_landmarks,
-                            o_count, dims, cell_size, r_idx, l_idx):
+                            o_count, dims, cell_size, r_idx, l_idx,
+                            g_unroll=1):
     """_features_kernel with the per-face window crop fused IN (the
     training-extraction twin of _cascade_frames_kernel): each grid step
     DMAs its G faces' uint8 windows straight out of the HBM-resident
     frame stack — the per-sample XLA window gather that fed
     extract_features_fused (one (chunk, RY, RX) bf16 materialisation
     per level per chunk) disappears entirely."""
-    step = pl.program_id(0)
-
-    def _src(g):
-        oyv = pl.multiple_of(oy_ref[step, g], FRAME_ROW_ALIGN)
-        oxv = pl.multiple_of(ox_ref[step, g], FRAME_COL_ALIGN)
-        return frames_ref.at[idx_ref[step, g], pl.ds(oyv, ry_n),
-                             pl.ds(oxv, rx_n)]
-
-    for g in range(g_faces):
-        pltpu.make_async_copy(_src(g), u8scr.at[g], dsems.at[g]).start()
-    for g in range(g_faces):
-        pltpu.make_async_copy(_src(g), u8scr.at[g], dsems.at[g]).wait()
-        winscr[g, :, :] = u8scr[g, :, :].astype(jnp.int32).astype(
-            jnp.float32).astype(jnp.bfloat16)
+    _crop_windows_dma(idx_ref, oy_ref, ox_ref, frames_ref, u8scr, winscr,
+                      dsems, g_faces)
 
     s, w, wx, rel = level
     c = hog_num_cells(s, cell_size)
     kdim = o_ref.shape[1]
     o_ref[:, kdim - SEG:kdim] = jnp.ones((g_faces, SEG), jnp.float32)
 
-    @pl.when(step == 0)
+    @pl.when(pl.program_id(0) == 0)
     def _init_bscr():
         bscr[:, :] = jnp.zeros(bscr.shape, jnp.float32)
 
-    for g in range(g_faces):
-        _face_features(
-            winscr, g, x0_ref[g, 0, :], wx_ref, wy_ref,
-            gscr, pscr, bscr, li=0, s=s, w=w, wx=wx, ry_n=ry_n,
-            rx_n=rx_n, num_landmarks=num_landmarks, o_count=o_count,
-            g_faces=g_faces, rel_patch=rel, cell_size=cell_size,
-            r_idx=r_idx, l_idx=l_idx)
+    _sample_level_batch(
+        winscr, x0_ref, iedscr, wx_ref, wy_ref, gscr, pscr, pwide,
+        bscr, li=0, s=s, w=w, wx=wx, ry_n=ry_n, rx_n=rx_n,
+        num_landmarks=num_landmarks, o_count=o_count, g_faces=g_faces,
+        rel_patch=rel, cell_size=cell_size, r_idx=r_idx, l_idx=l_idx,
+        g_unroll=g_unroll)
     _hog_tail(bscr, cscr, o_ref, rx_ref, ry_ref, g_faces=g_faces,
               c=c, o_count=o_count, dims=dims)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "window_shape", "level", "cell_size", "num_orientations", "dims",
-    "r_idx", "l_idx", "faces_per_step", "interpret"))
+    "r_idx", "l_idx", "faces_per_step", "g_unroll", "interpret"))
 def extract_features_fused_frames(frames: jnp.ndarray,
                                   image_indices: jnp.ndarray,
                                   oy: jnp.ndarray,
@@ -722,7 +846,8 @@ def extract_features_fused_frames(frames: jnp.ndarray,
                                   dims: int,
                                   r_idx,
                                   l_idx,
-                                  faces_per_step: int = 8,
+                                  faces_per_step: int = None,
+                                  g_unroll: int = None,
                                   interpret: bool = False) -> jnp.ndarray:
     """extract_features_fused with the window crop fused into the
     kernel: the uint8 frame stack stays in HBM and each grid step DMAs
@@ -746,6 +871,10 @@ def extract_features_fused_frames(frames: jnp.ndarray,
     n = x.shape[0]
     l2 = x.shape[1]
     l = l2 // 2
+    if faces_per_step is None:
+        faces_per_step = default_faces_per_step(l)
+    if g_unroll is None:
+        g_unroll = default_g_unroll(l)
     g = min(faces_per_step, n)
     assert frames.dtype == jnp.uint8, "frames path requires uint8 frames"
     n_pad = -(-n // g) * g
@@ -769,7 +898,7 @@ def extract_features_fused_frames(frames: jnp.ndarray,
         _features_frames_kernel, level=tuple(level), g_faces=g,
         ry_n=ry_n, rx_n=rx_n, num_landmarks=l, o_count=num_orientations,
         dims=dims, cell_size=cell_size, r_idx=tuple(r_idx),
-        l_idx=tuple(l_idx))
+        l_idx=tuple(l_idx), g_unroll=g_unroll)
 
     const_spec = lambda shape: pl.BlockSpec(        # noqa: E731
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
@@ -798,9 +927,11 @@ def extract_features_fused_frames(frames: jnp.ndarray,
             pltpu.VMEM((g, ry_n, rx_n), jnp.bfloat16),
             pltpu.VMEM((2 * num_orientations * s, lp), jnp.bfloat16),
             pltpu.VMEM((s, lp), jnp.bfloat16),
+            pltpu.VMEM((l, s, SEG), jnp.bfloat16),
             pltpu.VMEM((2 * num_orientations * g * br, nseg * SEG),
                        jnp.float32),
             pltpu.VMEM((g * br, dims * nseg * SEG), jnp.float32),
+            pltpu.VMEM((g, 1, 1), jnp.float32),
             pltpu.SemaphoreType.DMA((g,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -814,7 +945,8 @@ def extract_features_fused_frames(frames: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=(
     "window_shape", "levels", "cell_sizes", "num_orientations", "dims",
-    "r_idx", "l_idx", "faces_per_step", "interpret", "probe"))
+    "r_idx", "l_idx", "faces_per_step", "g_unroll", "interpret",
+    "probe"))
 def detect_cascade_fused_frames(frames: jnp.ndarray,
                                 image_indices: jnp.ndarray,
                                 oy: jnp.ndarray,
@@ -828,7 +960,8 @@ def detect_cascade_fused_frames(frames: jnp.ndarray,
                                 dims: int,
                                 r_idx,
                                 l_idx,
-                                faces_per_step: int = 12,
+                                faces_per_step: int = None,
+                                g_unroll: int = None,
                                 interpret: bool = False,
                                 probe=None) -> jnp.ndarray:
     """detect_cascade_fused with the per-face window crop fused into the
@@ -856,6 +989,10 @@ def detect_cascade_fused_frames(frames: jnp.ndarray,
     n = x0.shape[0]
     l2 = x0.shape[1]
     l = l2 // 2
+    if faces_per_step is None:
+        faces_per_step = default_faces_per_step(l)
+    if g_unroll is None:
+        g_unroll = default_g_unroll(l)
     g = min(faces_per_step, n)
     assert frames.dtype == jnp.uint8, "frames path requires uint8 frames"
     n_pad = -(-n // g) * g
@@ -877,7 +1014,7 @@ def detect_cascade_fused_frames(frames: jnp.ndarray,
         _cascade_frames_kernel, levels=tuple(levels), g_faces=g,
         ry_n=ry_n, rx_n=rx_n, num_landmarks=l, o_count=num_orientations,
         dims=dims, cell_sizes=tuple(cell_sizes), r_idx=tuple(r_idx),
-        l_idx=tuple(l_idx), probe=probe)
+        l_idx=tuple(l_idx), g_unroll=g_unroll, probe=probe)
 
     wx_all, wy_all, rx_all, ry_all = _splat_consts(
         tuple(levels), tuple(cell_sizes), num_orientations, l, g)
@@ -917,10 +1054,13 @@ def detect_cascade_fused_frames(frames: jnp.ndarray,
             pltpu.VMEM((2 * num_orientations * s_max, lp_max),
                        jnp.bfloat16),
             pltpu.VMEM((s_max, lp_max), jnp.bfloat16),
+            pltpu.VMEM((l, s_max, SEG), jnp.bfloat16),
             pltpu.VMEM((g, kdim), jnp.float32),
             pltpu.VMEM((2 * num_orientations * g * br, nseg * SEG),
                        jnp.float32),
             pltpu.VMEM((g * br, dims * nseg * SEG), jnp.float32),
+            pltpu.VMEM((g, 1, l2), jnp.float32),
+            pltpu.VMEM((g, 1, 1), jnp.float32),
             pltpu.SemaphoreType.DMA((g,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -976,7 +1116,7 @@ def compact_to_standard_rows(num_landmarks: int, num_cells: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "levels", "cell_sizes", "num_orientations", "dims", "r_idx", "l_idx",
-    "faces_per_step", "interpret", "probe"))
+    "faces_per_step", "g_unroll", "interpret", "probe"))
 def detect_cascade_fused(windows: jnp.ndarray,
                          x0: jnp.ndarray,
                          weights_perm,
@@ -986,7 +1126,8 @@ def detect_cascade_fused(windows: jnp.ndarray,
                          dims: int,
                          r_idx,
                          l_idx,
-                         faces_per_step: int = 8,
+                         faces_per_step: int = None,
+                         g_unroll: int = None,
                          interpret: bool = False,
                          probe=None) -> jnp.ndarray:
     """Run the full cascade over per-face windows in one kernel.
@@ -1009,6 +1150,10 @@ def detect_cascade_fused(windows: jnp.ndarray,
     n, ry_n, rx_n = windows.shape
     l2 = x0.shape[1]
     l = l2 // 2
+    if faces_per_step is None:
+        faces_per_step = default_faces_per_step(l)
+    if g_unroll is None:
+        g_unroll = default_g_unroll(l)
     g = min(faces_per_step, n)
     if windows.dtype != jnp.bfloat16:
         windows = windows.astype(jnp.bfloat16)
@@ -1028,7 +1173,7 @@ def detect_cascade_fused(windows: jnp.ndarray,
         _cascade_kernel, levels=tuple(levels), g_faces=g, ry_n=ry_n,
         rx_n=rx_n, num_landmarks=l, o_count=num_orientations, dims=dims,
         cell_sizes=tuple(cell_sizes), r_idx=tuple(r_idx),
-        l_idx=tuple(l_idx), probe=probe)
+        l_idx=tuple(l_idx), g_unroll=g_unroll, probe=probe)
 
     wx_all, wy_all, rx_all, ry_all = _splat_consts(
         tuple(levels), tuple(cell_sizes), num_orientations, l, g)
@@ -1060,10 +1205,13 @@ def detect_cascade_fused(windows: jnp.ndarray,
             pltpu.VMEM((2 * num_orientations * s_max, lp_max),
                        jnp.bfloat16),
             pltpu.VMEM((s_max, lp_max), jnp.bfloat16),
+            pltpu.VMEM((l, s_max, SEG), jnp.bfloat16),
             pltpu.VMEM((g, kdim), jnp.float32),
             pltpu.VMEM((2 * num_orientations * g * br, nseg * SEG),
                        jnp.float32),
             pltpu.VMEM((g * br, dims * nseg * SEG), jnp.float32),
+            pltpu.VMEM((g, 1, l2), jnp.float32),
+            pltpu.VMEM((g, 1, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

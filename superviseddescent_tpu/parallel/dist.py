@@ -107,6 +107,52 @@ def make_sharded_fused_detector(model, mesh: Mesh, roi: int,
     return jax.jit(run)
 
 
+class ShardedHogTransform:
+    """Data-parallel wrapper for a HogTransform whose extraction runs
+    GSPMD-opaque Pallas kernels (the window / fused patch backends):
+    an explicit shard_map runs each device's face shard through the
+    kernel while the image stack (and frame table) ride in as replicated
+    closure constants — so ``train_rcr(mesh=...)`` composes with the
+    memory-scalable 300-W extraction configs instead of silently
+    falling back to replication (VERDICT r3 item 5).
+
+    The wrapped object keeps the batched-projection contract
+    ``h(x (N, 2L), level) -> (N, F)``; N must divide the mesh (train_rcr
+    already pads the sample axis to a device multiple). Per-shard
+    chunking (HogTransform.chunk_size) still applies inside each shard.
+    """
+
+    def __init__(self, hog, mesh: Mesh, axis_name: str = "data"):
+        self.hog = hog
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self._fns = {}
+
+    def feature_dim(self, level: int = 0) -> int:
+        return self.hog.feature_dim(level)
+
+    def __call__(self, x, level: int):
+        n = x.shape[0]
+        n_dev = self.mesh.devices.size
+        if n % n_dev:
+            raise ValueError(
+                f"sample count {n} must divide the mesh ({n_dev})")
+        key = (level, n)
+        if key not in self._fns:
+            def body(x_shard, idx_shard):
+                return self.hog.call_with_indices(x_shard, level,
+                                                  idx_shard)
+
+            self._fns[key] = jax.jit(jax.shard_map(
+                body, mesh=self.mesh,
+                in_specs=(P(self.axis_name, None), P(self.axis_name)),
+                out_specs=P(self.axis_name, None),
+                # pallas_call does not annotate varying-across-mesh
+                # metadata (same caveat as make_sharded_fused_detector)
+                check_vma=False))
+        return self._fns[key](x, self.hog._indices_for(n))
+
+
 def sharded_detect_fused(model, images, faceboxes, mesh: Mesh,
                          roi: int, axis_name: str = "data",
                          max_ied=None):

@@ -186,3 +186,59 @@ def test_sharded_fused_multisegment_matches():
     sharded = np.asarray(sharded_detect_fused(
         model, imgs, boxes, mesh, roi=128))
     np.testing.assert_allclose(sharded, single, atol=1e-4)
+
+
+def test_train_rcr_mesh_window_backend_matches():
+    """Mesh training with the memory-scalable WINDOW extraction backend
+    (roi crop + Pallas window sampler — the 300-W training config,
+    VERDICT r3 item 5): the Pallas kernel is GSPMD-opaque, so the
+    extraction runs through parallel.dist.ShardedHogTransform (explicit
+    per-shard shard_map). Weights must match the single-device window-
+    backend result (extraction is per-sample exact; only the psum
+    summation order differs in the solve), at a 300-W-ish sample count
+    (48 faces x 11 inits = 528 samples over the 8-device mesh)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_rcr_pipeline import (
+        load_small_dataset, SMALL_HOG, SMALL_LANDMARKS, RIGHT_EYE, LEFT_EYE)
+    from superviseddescent_tpu.models import (
+        RcrTrainConfig, gt_facebox, train_rcr)
+    from superviseddescent_tpu.utils.landmarks import to_landmark_collection
+
+    if not os.path.isdir("/root/reference/examples/data/ibug_lfpw_trainset"):
+        pytest.skip("reference data absent")
+
+    stack, gt_rows = load_small_dataset()
+    boxes5 = np.stack([
+        gt_facebox(to_landmark_collection(r, SMALL_LANDMARKS))
+        for r in gt_rows]).astype(np.float32)
+    l = len(SMALL_LANDMARKS)
+    mean = np.mean([np.concatenate([(r[:l] - b[0]) / b[2] - 0.5,
+                                    (r[l:] - b[1]) / b[3] - 0.5])
+                    for r, b in zip(gt_rows, boxes5)],
+                   axis=0).astype(np.float32)
+    sel = (np.arange(48) % stack.shape[0]).astype(np.int32)
+    gt48, bx48 = gt_rows[sel], boxes5[sel]
+    stack_u8 = np.asarray(stack, np.uint8)
+    cfg = RcrTrainConfig(
+        hog_params=SMALL_HOG, num_perturbations=10, seed=7, roi=512,
+        patch_backend="window", sampling="fast", hog_fast=True,
+        solver_method="cholesky", feature_chunk_size=256,
+        regularisation=Regulariser(RegularisationType.MatrixNorm, 0.1,
+                                   regularise_last_row=False))
+
+    single = train_rcr(stack_u8, gt48, bx48, SMALL_LANDMARKS,
+                       RIGHT_EYE, LEFT_EYE, mean, cfg, image_indices=sel)
+    mesh = make_mesh()
+    dist = train_rcr(stack_u8, gt48, bx48, SMALL_LANDMARKS,
+                     RIGHT_EYE, LEFT_EYE, mean, cfg, image_indices=sel,
+                     mesh=mesh)
+
+    for rs, rd in zip(single.sdo.regressors, dist.sdo.regressors):
+        np.testing.assert_allclose(np.asarray(rd.weights),
+                                   np.asarray(rs.weights),
+                                   rtol=2e-2, atol=2e-4)
+    p_s = np.asarray(single.detect_batch(stack, boxes5))
+    p_d = np.asarray(dist.detect_batch(stack, boxes5))
+    np.testing.assert_allclose(p_d, p_s, atol=0.05)  # px
