@@ -148,12 +148,38 @@ def test_banded_evaluation_matches_unbanded(detector):
     np.testing.assert_allclose(out, ref)
 
 
+def test_detect_batch_matches_single(detector):
+    """detect_batch (one pyramid enqueue + ONE readback for the whole
+    stack) returns exactly what per-frame detect() returns."""
+    from superviseddescent_tpu.ops.patches import load_gray_image
+    img = np.asarray(load_gray_image(os.path.join(DATA, "image_0001.png")))
+    h, w = img.shape
+    # three same-shape frames with different content: the image, a
+    # shifted crop re-padded to size, and a blank frame (no detections)
+    shifted = np.zeros_like(img)
+    shifted[:h - 40, :w - 30] = img[40:, 30:]
+    frames = np.stack([img, shifted, np.zeros_like(img)])
+    batched = detector.detect_batch(frames)
+    assert len(batched) == 3
+    for frame, got in zip(frames, batched):
+        want = detector.detect(frame)
+        np.testing.assert_array_equal(got, want)
+    assert len(batched[0]) >= 1          # the true face is still found
+    assert len(batched[2]) == 0          # blank frame stays empty
+
+
 def test_boxes_match_goldens(detector):
     """Regression goldens (VERDICT r1 item 7): the detector's boxes on the
     LFPW images, pinned so stride/rounding/grouping drift is visible.
-    Goldens were generated by this implementation on the CPU backend
-    (scripts note in tests/goldens/); re-generate deliberately only when
-    detector semantics intentionally change."""
+    Goldens were generated by this implementation on the CPU backend;
+    re-generate deliberately only when detector semantics intentionally
+    change. Regenerated round 4 for the integer-quantised pyramid
+    (OpenCV uint8-pyramid semantics; enables the exact single-pass bf16
+    MXU path — facedetect.py module docstring). Box COUNTS were
+    unchanged by that regeneration; positions moved <= 7.9 px from
+    cluster-membership changes. The integer-exact evaluation makes these
+    goldens backend-invariant: CPU f32 and TPU bf16 compute the same
+    exact integers."""
     from superviseddescent_tpu.ops.patches import load_gray_image
     goldens = np.load(os.path.join(os.path.dirname(__file__), "goldens",
                                    "haar_boxes.npz"))
