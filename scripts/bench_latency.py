@@ -86,6 +86,19 @@ def main():
         dt_fd = (time.perf_counter() - t0) / 10
         print(f"Haar, device-resident frame:  {dt_fd*1e3:7.2f} ms/frame "
               f"(skips the per-call frame upload)")
+        # batched multi-frame sweep: one pyramid enqueue + ONE readback
+        # for the whole stack (training re-detection / video segments)
+        for nb in (8, 32):
+            frames = jax.device_put(jnp.broadcast_to(
+                jnp.asarray(img), (nb,) + img.shape))
+            det.detect_batch(frames)          # compile
+            t0 = time.perf_counter()
+            reps = 5
+            for _ in range(reps):
+                outs = det.detect_batch(frames)
+            dt_b = (time.perf_counter() - t0) / (reps * nb)
+            print(f"Haar detect_batch, B={nb}:    {dt_b*1e3:7.2f} ms/frame "
+                  f"({1.0/dt_b:,.0f} frames/sec; {len(outs)} frames/call)")
     else:
         print("no Haar cascade XML found; skipping face-detect latency")
 

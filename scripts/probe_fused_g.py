@@ -53,7 +53,13 @@ def main():
     stack, _ = stack_images(images, pad_width_to=128)
 
     batch, roi = 3072, 512
-    g_list = [int(a) for a in sys.argv[1:]] or [8, 12]
+    # args: G or GxU (faces-per-step x g_unroll), e.g. "32x8"
+    def parse(a):
+        if "x" in a:
+            g, u = a.split("x")
+            return int(g), int(u)
+        return int(a), None
+    g_list = [parse(a) for a in sys.argv[1:]] or [(8, None), (12, None)]
     sel = np.arange(batch) % stack.shape[0]
     boxes = boxes5[sel]
     stk = jnp.asarray(stack, jnp.uint8)
@@ -89,30 +95,31 @@ def main():
         jnp.tile(oy.astype(jnp.float32)[:, None], (1, n_lm))], axis=1)
     x0 = align_mean(jnp.asarray(model.mean)[None, :], bx) - shift
 
-    def build(g):
+    def build(g, gu):
         # constant weights closed into the jit (probe_fused.py lesson)
         @jax.jit
         def run(wn, xx):
             return detect_cascade_fused(
                 wn, xx, weights_perm, levels, cell_sizes, p0.num_bins,
-                dims, tuple(r_idx), tuple(l_idx), faces_per_step=g)
+                dims, tuple(r_idx), tuple(l_idx), faces_per_step=g,
+                g_unroll=gu)
         return run
 
     ref_out = None
-    for g in g_list:
-        run = build(g)
+    for g, gu in g_list:
+        run = build(g, gu)
         t0 = time.time()
         out = run(windows, x0)
         out.block_until_ready()
-        print(f"G={g}: compile+first {time.time()-t0:.1f}s", flush=True)
+        print(f"G={g}x{gu}: compile+first {time.time()-t0:.1f}s", flush=True)
         o = np.asarray(out)
         if ref_out is None:
             ref_out = o
         else:
-            print(f"G={g}: max |delta| vs G={g_list[0]}: "
+            print(f"G={g}x{gu}: max |delta| vs first: "
                   f"{np.abs(o - ref_out).max():.4f} px", flush=True)
         dt, rtt = measure(run, windows, x0, reps=20)
-        print(f"G={g}: {dt*1e3:7.2f} ms / {batch} faces "
+        print(f"G={g}x{gu}: {dt*1e3:7.2f} ms / {batch} faces "
               f"-> {batch/dt:.0f} faces/sec (rtt {rtt*1e3:.1f} ms)",
               flush=True)
 

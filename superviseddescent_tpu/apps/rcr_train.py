@@ -55,9 +55,21 @@ def resolve_faceboxes(source, full_landmarks, rows, model_landmarks,
         from superviseddescent_tpu.utils.landmarks import check_face
         det = HaarCascadeDetector(source[len("cascade:"):], scale_factor=1.2,
                                   min_neighbors=2, min_size=(50, 50))
+        # detect_batch per image-size class: one pyramid enqueue + ONE
+        # device readback per distinct (H, W) instead of per image (the
+        # reference re-detects image by image, rcr-train.cpp:410)
+        by_shape = {}
+        for i, img in enumerate(images):
+            by_shape.setdefault(np.asarray(img).shape, []).append(i)
+        all_boxes = [None] * len(images)
+        for idxs in by_shape.values():
+            stack = np.stack([np.asarray(images[i], np.float32)
+                              for i in idxs])
+            for i, bx in zip(idxs, det.detect_batch(stack)):
+                all_boxes[i] = bx
         kept, out = [], []
-        for i, (img, full) in enumerate(zip(images, full_landmarks)):
-            boxes = det.detect(np.asarray(img))
+        for i, full in enumerate(full_landmarks):
+            boxes = all_boxes[i]
             # the reference checks only the FIRST detection and discards
             # the image if it fails (rcr-train.cpp:410-417 -> check_face
             # inspects detected_faces[0], helpers.hpp:106-131)

@@ -90,6 +90,21 @@ XML = "/usr/share/opencv4/haarcascades/haarcascade_frontalface_alt2.xml"
 
 
 @pytest.mark.skipif(not os.path.exists(XML), reason="stock cascade absent")
+def test_rcr_train_cascade_facebox_source(tmp_path):
+    # the reference training pipeline's face-detection stage
+    # (rcr-train.cpp:383-436): Haar detection via detect_batch (one
+    # readback per image-size class) + check_face true-positive filter
+    out = tmp_path / "cascade_src.bin"
+    r = run(["superviseddescent_tpu.apps.rcr_train",
+             "-d", DATA, "-o", str(out),
+             "--levels", "1", "--num-perturbations", "1", "--seed", "1",
+             "--facebox-source", f"cascade:{XML}"], timeout=1200)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Normalised LM-error train:" in r.stdout
+    assert os.path.exists(out)
+
+
+@pytest.mark.skipif(not os.path.exists(XML), reason="stock cascade absent")
 def test_rcr_detect_with_face_detector(trained_model):
     # the fully standalone pipeline: built-in Haar face detection feeds
     # the landmark cascade (reference rcr-detect.cpp:110 flow)
