@@ -245,7 +245,8 @@ def bench_heldout(stack, gt_rows, boxes, model_landmarks,
                      tag)
 
 
-def bench_heldout60(model_landmarks, right_ids, left_ids, mean, n=60):
+def bench_heldout60(model_landmarks, right_ids, left_ids, mean, n=60,
+                    sigma_rotation=0.0):
     """Leave-one-IDENTITY-out held-out IOD error on the cached synthetic
     set (VERDICT r3 item 4: the 5-image protocol is data-starved; this
     one trains each fold on every warp of 4 identities, mirror-augmented,
@@ -287,11 +288,12 @@ def bench_heldout60(model_landmarks, right_ids, left_ids, mean, n=60):
                          sampling="fast", hog_fast=True,
                          solver_method="cholesky",
                          feature_chunk_size=2048,
-                         mirror_augmentation=True)
+                         mirror_augmentation=True,
+                         sigma_rotation=sigma_rotation)
     return _loo_eval(stack, rows, boxes, folds, ident, model_landmarks,
                      right_ids, left_ids, mean, cfg,
                      f"leave-one-identity-out held-out IOD error "
-                     f"({n} synth images)")
+                     f"({n} synth images, sigma_rot={sigma_rotation})")
 
 
 def bench_mesh(n_dev, stack, gt_rows, boxes, model_landmarks,

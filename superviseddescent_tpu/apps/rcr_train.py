@@ -142,6 +142,11 @@ def main(argv=None):
     p.add_argument("--sampling", default="exact",
                    choices=["exact", "high", "fast"],
                    help="MXU precision of patch sampling")
+    p.add_argument("--sigma-rotation", type=float, default=0.0,
+                   help="in-plane rotation jitter (radians) on the"
+                        " perturbed initialisations, beyond the reference's"
+                        " translation/scale augmentation (0 = reference"
+                        " behaviour)")
     p.add_argument("--mirror", action="store_true",
                    help="horizontal-flip augmentation: double the training"
                         " set with mirrored images + mirror-permuted"
@@ -190,6 +195,7 @@ def main(argv=None):
                                    args.lambda_factor,
                                    regularise_last_row=False),
         num_perturbations=args.num_perturbations,
+        sigma_rotation=args.sigma_rotation,
         seed=args.seed,
         feature_chunk_size=args.feature_chunk_size,
         roi=args.roi,

@@ -45,10 +45,20 @@ def perturb_facebox(facebox, translation_x, translation_y, scaling=1.0):
 def augment_initialisations(mean, faceboxes, key,
                             num_perturbations: int = 10,
                             sigma_translation: float = 0.04,
-                            sigma_scale: float = 0.04):
+                            sigma_scale: float = 0.04,
+                            sigma_rotation: float = 0.0):
     """Perturbation augmentation: per facebox, the original plus
     `num_perturbations` randomly perturbed boxes, each aligned with the mean
     (reference: rcr-train.cpp:386-434; tx,ty ~ N(0, 0.04), s ~ N(1, 0.04)).
+
+    sigma_rotation (radians) goes beyond the reference's translation/scale
+    jitter: each perturbed initialisation is additionally rotated about its
+    own centroid by theta ~ N(0, sigma_rotation). Faceboxes are
+    axis-aligned, so an in-plane-rotated face yields an initialisation the
+    cascade must de-rotate — training with rotated initialisations teaches
+    that correction (measured on the leave-one-identity-out synthetic
+    protocol, whose faces carry +-12 deg warps; docs/PERF_NOTES.md).
+    The default 0.0 reproduces the reference augmentation bit-for-bit.
 
     Args:
       mean: (2L,) mean shape in facebox space.
@@ -64,7 +74,10 @@ def augment_initialisations(mean, faceboxes, key,
     faceboxes = jnp.asarray(faceboxes, jnp.float32)
     b = faceboxes.shape[0]
     p = num_perturbations
-    k_t, k_s = jax.random.split(key)
+    if sigma_rotation > 0.0:
+        k_t, k_s, k_r = jax.random.split(key, 3)
+    else:
+        k_t, k_s = jax.random.split(key)
     trans = jax.random.normal(k_t, (b, p, 2)) * sigma_translation
     scale = 1.0 + jax.random.normal(k_s, (b, p)) * sigma_scale
 
@@ -73,6 +86,21 @@ def augment_initialisations(mean, faceboxes, key,
     all_boxes = jnp.concatenate([faceboxes[:, None, :], perturbed],
                                 axis=1)                               # (B,P+1,4)
     x0 = align_mean(jnp.asarray(mean)[None, None, :], all_boxes)      # (B,P+1,2L)
+    if sigma_rotation > 0.0:
+        # rotate each PERTURBED copy about its centroid; copy 0 (the
+        # unperturbed box, like the reference) stays unrotated
+        theta = jnp.concatenate([
+            jnp.zeros((b, 1)),
+            jax.random.normal(k_r, (b, p)) * sigma_rotation], axis=1)
+        l = x0.shape[-1] // 2
+        xs, ys = x0[..., :l], x0[..., l:]
+        cx = xs.mean(axis=-1, keepdims=True)
+        cy = ys.mean(axis=-1, keepdims=True)
+        ca = jnp.cos(theta)[..., None]
+        sa = jnp.sin(theta)[..., None]
+        dx, dy = xs - cx, ys - cy
+        x0 = jnp.concatenate([cx + dx * ca - dy * sa,
+                              cy + dx * sa + dy * ca], axis=-1)
     x0 = x0.reshape(b * (p + 1), -1)
     sample_to_box = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p + 1)
     return x0, sample_to_box
@@ -103,6 +131,10 @@ class RcrTrainConfig:
     num_perturbations: int = 10
     sigma_translation: float = 0.04
     sigma_scale: float = 0.04
+    # in-plane rotation jitter (radians) on the perturbed initialisations —
+    # beyond the reference's translation/scale augmentation; 0.0 keeps the
+    # reference behaviour exactly (augment_initialisations docstring)
+    sigma_rotation: float = 0.0
     seed: int = 0
     solver_method: str = "lu"
     quantize_patches: bool = True
@@ -312,7 +344,8 @@ def train_rcr(images, groundtruth_rows, faceboxes,
         mean, faceboxes, key,
         num_perturbations=config.num_perturbations,
         sigma_translation=config.sigma_translation,
-        sigma_scale=config.sigma_scale)
+        sigma_scale=config.sigma_scale,
+        sigma_rotation=config.sigma_rotation)
     x_gt = gt[sample_to_box]
     sample_image_indices = image_indices[sample_to_box]
     if config.roi is not None:

@@ -72,6 +72,48 @@ def test_augmentation_shapes_and_originals():
                                np.asarray(align_mean(mean, boxes[0])))
 
 
+def test_augmentation_rotation_jitter():
+    import jax
+    mean = np.float32([-0.1, 0.1, 0.0, 0.0, 0.0, 0.3])   # L=3
+    boxes = np.float32([[0, 0, 100, 100], [50, 50, 80, 80]])
+    key = jax.random.PRNGKey(3)
+    # sigma_rotation=0.0 reproduces the reference augmentation exactly
+    x0_ref, _ = augment_initialisations(mean, boxes, key,
+                                        num_perturbations=4)
+    x0_zero, _ = augment_initialisations(mean, boxes, key,
+                                         num_perturbations=4,
+                                         sigma_rotation=0.0)
+    np.testing.assert_array_equal(np.asarray(x0_ref), np.asarray(x0_zero))
+    x0_rot, s2b = augment_initialisations(mean, boxes, key,
+                                          num_perturbations=4,
+                                          sigma_rotation=0.2)
+    assert x0_rot.shape == x0_ref.shape
+    r = np.asarray(x0_rot).reshape(2, 5, 6)
+    # group leaders (the unperturbed boxes) stay unrotated
+    np.testing.assert_allclose(
+        r[:, 0], np.asarray(align_mean(mean[None], boxes)), rtol=1e-6)
+    for g in range(2):
+        for k in range(1, 5):
+            row = r[g, k]
+            xs, ys = row[:3], row[3:]
+            # rotation about the centroid preserves every point's distance
+            # to the centroid: recover theta from one point and check all
+            cx, cy = xs.mean(), ys.mean()
+            assert not np.allclose(row, np.asarray(x0_ref).reshape(
+                2, 5, 6)[g, k])                 # actually rotated
+            ref = np.asarray(x0_ref).reshape(2, 5, 6)[g, k]
+            rx, ry = ref[:3] - ref[:3].mean(), ref[3:] - ref[3:].mean()
+            dx, dy = xs - cx, ys - cy
+            np.testing.assert_allclose(np.hypot(dx, dy), np.hypot(rx, ry),
+                                       rtol=1e-4, atol=1e-5)
+            theta = np.arctan2(dy[0], dx[0]) - np.arctan2(ry[0], rx[0])
+            ca, sa = np.cos(theta), np.sin(theta)
+            np.testing.assert_allclose(dx, rx * ca - ry * sa,
+                                       rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(dy, rx * sa + ry * ca,
+                                       rtol=1e-4, atol=1e-4)
+
+
 def test_extract_patches_known_values():
     # image with a known ramp; patch entirely inside; no resize (phw*2 == S)
     img = np.arange(100, dtype=np.float32).reshape(10, 10)
