@@ -50,7 +50,13 @@ def main():
     stack, _ = stack_images(images, pad_width_to=128)
 
     batch, roi = 4096, 512
-    g_list = [int(a) for a in sys.argv[1:]] or [12, 8]
+    # args: G or GxU (faces-per-step x g_unroll)
+    def parse(a):
+        if "x" in a:
+            g, u = a.split("x")
+            return int(g), int(u)
+        return int(a), None
+    g_list = [parse(a) for a in sys.argv[1:]] or [(12, None), (8, None)]
     sel = np.arange(batch) % stack.shape[0]
     boxes = jnp.asarray(boxes5[sel])
     stk_u8 = jnp.asarray(stack, jnp.uint8)
@@ -65,13 +71,13 @@ def main():
         stk_u8, sel_dev[:nv])
 
     ref_out = None
-    for g in g_list:
+    for g, gu in g_list:
         detect = model.make_fused_detector(roi=roi, max_ied=145.0,
-                                           faces_per_step=g)
+                                           faces_per_step=g, g_unroll=gu)
         t0 = time.time()
         out = detect(imgs_u8, boxes)
         out.block_until_ready()
-        print(f"G={g} frames: compile+first {time.time()-t0:.1f}s",
+        print(f"G={g}x{gu} frames: compile+first {time.time()-t0:.1f}s",
               flush=True)
         o = np.asarray(out)
         if ref_out is None:
@@ -82,10 +88,10 @@ def main():
                   f" max |frames - legacy| = "
                   f"{np.abs(o[:nv] - leg).max():.4f} px", flush=True)
         else:
-            print(f"G={g}: max |delta| vs G={g_list[0]}: "
+            print(f"G={g}x{gu}: max |delta| vs first: "
                   f"{np.abs(o - ref_out).max():.4f} px", flush=True)
         dt, rtt = measure(detect, imgs_u8, boxes, reps=20)
-        print(f"G={g} frames (u8):   {dt*1e3:7.2f} ms / {batch} "
+        print(f"G={g}x{gu} frames (u8):   {dt*1e3:7.2f} ms / {batch} "
               f"-> {batch/dt:.0f} faces/sec (rtt {rtt*1e3:.1f} ms)",
               flush=True)
         # indexed: 5 unique frames, zero expansion anywhere

@@ -19,11 +19,15 @@ scalar loops:
     branchy reference algorithm becomes 2 matmuls + static slicing.
   * Variance normalisation folds into the node comparison:
     ``raw/nf < t  <=>  raw < t*nf`` (nf > 0), so no divisions.
-  * The scale pyramid resizes the image (like OpenCV's new
-    implementation) and reuses the one compiled single-scale program per
-    image shape. All evaluation is batched over a leading frames axis:
-    ``detect_batch`` runs B same-shape frames through one pyramid
-    enqueue and ONE device->host readback for every frame's candidates.
+  * The WHOLE scale pyramid — every resize, every cascade evaluation,
+    the valid-region crops, and the candidate compaction — is ONE
+    compiled XLA program per (frame count, H, W) class
+    (``_run_pyramid_packed``): one dispatch and one few-KB readback per
+    detect call. Per-scale programs used to cost ~1.5 ms of launch gap
+    each over remote tunnels (~18 ms of a 54 ms frame, measured in
+    scripts/probe_haar.py). All evaluation carries a leading frames
+    axis: ``detect_batch`` runs B same-shape frames through the same
+    single program and single readback.
 
 Numerics — exact integer evaluation on the MXU: the pyramid is rounded
 to integer pixel values after each bilinear resize (OpenCV's pyramid IS
@@ -33,11 +37,12 @@ cv2's fixed-point interpolation weights). With integer pixels in
 {-1, 0, 1, 2}; checked at load), every product is exactly representable
 in bf16 x bf16 and every partial sum is an integer far below 2^24, so
 the MXU's default bf16-multiply / f32-accumulate path computes the bank
-matmuls EXACTLY — no Precision.HIGHEST 6-pass penalty (6x matmul cost)
-is needed. The variance norm factor is computed with exact elementwise
-f32 ops on centred pixels (products <= 128^2, sums < 2^24: exact).
-Cascades whose weights fail the integer/bf16/magnitude check fall back
-to Precision.HIGHEST automatically (see ``_banks_exact_in_bf16``).
+matmuls EXACTLY — no Precision.HIGHEST 6-pass penalty (measured 6.1x:
+140 vs 22 TFLOP/s on the alt2 bank, scripts/probe_haar.py). The
+variance norm factor is computed with exact elementwise f32 ops on
+centred pixels (products <= 128^2, sums < 2^24: exact). Cascades whose
+weights fail the integer/bf16/magnitude check fall back to
+Precision.HIGHEST automatically (see ``_banks_exact_in_bf16``).
 cv2 5.x removed CascadeClassifier, so there is no OpenCV run to diff
 against in this environment; validation is against the reference's own
 check_face ground-truth criterion on the bundled LFPW images plus an
@@ -75,16 +80,74 @@ def _banks_exact_in_bf16(d: HaarCascadeData) -> bool:
     return True
 
 
-@functools.partial(jax.jit, static_argnames=("wh", "ww", "stride",
-                                             "stage_bounds", "precision"))
-def _evaluate_scale(images, bank0, bank1, thresh0, thresh1, flip0, leaves,
-                    stage_thresholds, norm_mask, wh: int, ww: int,
-                    stride: int, stage_bounds: Tuple[int, ...],
-                    precision=jax.lax.Precision.DEFAULT):
-    """Dense cascade evaluation over every stride-aligned window.
+# stages evaluated densely on EVERY window before survivor compaction;
+# the remaining stages run only on windows that pass these (OpenCV's
+# early-out, re-shaped for SIMD: a static two-phase split instead of
+# per-window branching)
+N_PRE_STAGES = 3
+
+
+def _tree_leaves(p, nf, bank0, bank1, thresh0, thresh1, flip0, leaves,
+                 precision, lo: int, hi: int):
+    """Leaf values of trees [lo, hi) for the window-patch rows ``p``.
+
+    The hot matmuls: with integer pixels and integer bf16-exact banks the
+    DEFAULT (single-pass bf16) MXU path is exact; HIGHEST is only used
+    for cascades that fail _banks_exact_in_bf16. Per-row results are
+    independent of which other rows are present (same contraction dim,
+    same accumulation order — and exact integers besides), so evaluating
+    a compacted subset of windows is BIT-IDENTICAL to the dense run.
+    """
+    raw0 = jax.lax.dot_general(
+        p, bank0[:, lo:hi], (((1,), (0,)), ((), ())),
+        precision=precision)                                # (N, hi-lo)
+    raw1 = jax.lax.dot_general(
+        p, bank1[:, lo:hi], (((1,), (0,)), ((), ())),
+        precision=precision)
+    nfc = nf[:, None]
+    # flip0: trees whose TRUE branch descends to node 1 (swapped children
+    # in the XML) — XOR the node-0 comparison so "True" always means leaf 0
+    cond0 = jnp.logical_xor(raw0 < thresh0[None, lo:hi] * nfc,
+                            flip0[None, lo:hi])
+    return jnp.where(cond0,
+                     leaves[None, lo:hi, 0],
+                     jnp.where(raw1 < thresh1[None, lo:hi] * nfc,
+                               leaves[None, lo:hi, 1],
+                               leaves[None, lo:hi, 2]))
+
+
+def _stage_pass(leaf, stage_thresholds, stage_bounds, s_lo: int, s_hi: int,
+                tree_off: int):
+    """AND of stage decisions s_lo..s_hi-1 over leaf values whose column
+    0 is tree index ``tree_off``."""
+    passed = jnp.ones((leaf.shape[0],), bool)
+    for si in range(s_lo, s_hi):
+        a = stage_bounds[si] - tree_off
+        b = stage_bounds[si + 1] - tree_off
+        stage_sum = jnp.sum(leaf[:, a:b], axis=1)
+        passed = jnp.logical_and(passed, stage_sum >= stage_thresholds[si])
+    return passed
+
+
+def _eval_windows(images, bank0, bank1, thresh0, thresh1, flip0, leaves,
+                  stage_thresholds, norm_mask, wh: int, ww: int,
+                  stride: int, stage_bounds: Tuple[int, ...], precision,
+                  survivor_div: int = 4):
+    """Cascade evaluation over every stride-aligned window (traced
+    inside the pyramid program), in two phases: the first N_PRE_STAGES
+    stages run densely on all windows (a few % of the trees), then the
+    surviving windows are compacted to a fixed N//survivor_div buffer
+    (survivor_div=0 disables the prefilter: dense evaluation) and only
+    they see the remaining ~97% of the bank — OpenCV's
+    early-out rebuilt as a static gather instead of branching. Cuts both
+    the dominant (N, T) matmul FLOPs and HBM traffic ~4-20x; results are
+    bit-identical to the dense evaluation (_tree_leaves docstring).
 
     images: (B, H, W) f32 grayscale (integer-valued pixels for the exact
-    bf16 path). Returns (B, oh, ow) bool pass mask.
+    bf16 path). Returns ((B, oh, ow) bool pass mask, pre_overflow bool
+    scalar — True when the survivor buffer was too small, in which case
+    the mask is only correct where passed_pre is False and the caller
+    must fall back to a dense program).
     """
     b_frames = images.shape[0]
     patches = jax.lax.conv_general_dilated_patches(
@@ -93,6 +156,7 @@ def _evaluate_scale(images, bank0, bank1, thresh0, thresh1, flip0, leaves,
         padding="VALID")                                    # (B, wh*ww, oh, ow)
     _, d, oh, ow = patches.shape
     p = jnp.moveaxis(patches, 1, -1).reshape(-1, d)         # (B*oh*ow, wh*ww)
+    n = p.shape[0]
 
     # inner-rect variance norm factor (OpenCV normrect = (1,1,w-2,h-2)):
     # nf = sqrt(area*sumsq - sum^2), or 1 if non-positive. Pixels are
@@ -109,112 +173,154 @@ def _evaluate_scale(images, bank0, bank1, thresh0, thresh1, flip0, leaves,
     var = area * sq - s * s
     nf = jnp.where(var > 0.0, jnp.sqrt(jnp.maximum(var, 0.0)), 1.0)
 
-    # the hot matmuls: with integer pixels and integer bf16-exact banks
-    # the DEFAULT (single-pass bf16) MXU path is exact; HIGHEST is only
-    # used for cascades that fail _banks_exact_in_bf16
-    raw0 = jax.lax.dot_general(
-        p, bank0, (((1,), (0,)), ((), ())), precision=precision)  # (N, T)
-    raw1 = jax.lax.dot_general(
-        p, bank1, (((1,), (0,)), ((), ())), precision=precision)
-    nfc = nf[:, None]
-    # flip0: trees whose TRUE branch descends to node 1 (swapped children
-    # in the XML) — XOR the node-0 comparison so "True" always means leaf 0
-    cond0 = jnp.logical_xor(raw0 < thresh0[None, :] * nfc, flip0[None, :])
-    leaf = jnp.where(cond0,
-                     leaves[None, :, 0],
-                     jnp.where(raw1 < thresh1[None, :] * nfc,
-                               leaves[None, :, 1],
-                               leaves[None, :, 2]))         # (N, T)
+    args = (bank0, bank1, thresh0, thresh1, flip0, leaves, precision)
+    n_stages = len(stage_bounds) - 1
+    n_pre = min(N_PRE_STAGES, n_stages)
+    t_pre = stage_bounds[n_pre]
+    t_total = stage_bounds[-1]
 
-    passed = jnp.ones((p.shape[0],), bool)
-    for si in range(len(stage_bounds) - 1):
-        a, b = stage_bounds[si], stage_bounds[si + 1]
-        stage_sum = jnp.sum(leaf[:, a:b], axis=1)
-        passed = jnp.logical_and(passed, stage_sum >= stage_thresholds[si])
-    return passed.reshape(b_frames, oh, ow)
+    leaf_pre = _tree_leaves(p, nf, *args, 0, t_pre)
+    passed_pre = _stage_pass(leaf_pre, stage_thresholds, stage_bounds,
+                             0, n_pre, 0)
+    if n_pre == n_stages:
+        return (passed_pre.reshape(b_frames, oh, ow),
+                jnp.zeros((), bool))
 
+    k = max(128, n // survivor_div) if survivor_div > 0 else n
+    n_surv = jnp.sum(passed_pre.astype(jnp.int32))
+    if survivor_div <= 0 or k >= n:
+        # dense fallback program / tiny scale where the compacted
+        # buffer would not shrink anything
+        leaf_rest = _tree_leaves(p, nf, *args, t_pre, t_total)
+        passed_rest = _stage_pass(leaf_rest, stage_thresholds,
+                                  stage_bounds, n_pre, n_stages, t_pre)
+        return (jnp.logical_and(passed_pre, passed_rest)
+                .reshape(b_frames, oh, ow), jnp.zeros((), bool))
 
-@functools.partial(jax.jit, static_argnames=("rows",))
-def _pad_rows(x, rows: int):
-    """Zero-pad image rows as a jitted program (an eager jnp.pad in the
-    banded serving path would dispatch synchronously per scale)."""
-    return jnp.pad(x, ((0, 0), (0, rows), (0, 0)))
-
-
-@jax.jit
-def _flatten_masks(*pieces):
-    """Ravel + concatenate every pyramid scale's mask bands into ONE
-    (B, total) buffer so the host needs a single readback for the whole
-    pyramid. Recompiles per distinct shape tuple — shapes are
-    64-bucketed, so one compile per image-size class. (Fallback path:
-    the serving path is _compact_candidates, whose readback is K indices
-    per frame, not mask bands.)"""
-    b = pieces[0].shape[0]
-    return jnp.concatenate([p.reshape(b, -1) for p in pieces], axis=1)
+    (idx,) = jnp.nonzero(passed_pre, size=k, fill_value=0)
+    p_sel = jnp.take(p, idx, axis=0)                        # (k, wh*ww)
+    nf_sel = jnp.take(nf, idx)
+    leaf_rest = _tree_leaves(p_sel, nf_sel, *args, t_pre, t_total)
+    passed_sel = _stage_pass(leaf_rest, stage_thresholds, stage_bounds,
+                             n_pre, n_stages, t_pre)
+    # scatter back; filler slots (slot >= n_surv) all point at row 0 —
+    # mask them so a non-surviving row 0 cannot be resurrected
+    valid = jnp.arange(k) < n_surv
+    passed_rest = jnp.zeros((n,), bool).at[idx].max(
+        jnp.logical_and(passed_sel, valid))
+    passed = jnp.logical_and(passed_pre, passed_rest)
+    return (passed.reshape(b_frames, oh, ow), n_surv > k)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _compact_candidates(valids, k: int, *pieces):
-    """Device-side candidate extraction: mask each pyramid piece to its
-    valid (rows, cols) region (the bucketed evaluation pads beyond the
-    true scaled size — padding windows must never become detections),
-    flatten everything, and compact each frame's passing flat indices to
-    a fixed k-slot buffer. Returns one (B, k+1) int32 array
-    [idx_0..idx_{k-1}, total_count] per frame so the host needs a SINGLE
-    few-KB readback for the whole batch's pyramids — the mask-band
-    readback plus host np.nonzero used to dominate detect() latency
-    (~50 of ~80 ms at 600x512, docs/PERF_NOTES.md). Slots past the count
-    hold -1; if a frame's count > k the host falls back to the full-mask
-    readback for that frame (correctness over speed).
+# per-scale plan entry: (sh, sw, bh, bw, stride, oh, ow, n_bands, boh,
+# bph, pad_rows, factor) — all static, so the whole pyramid traces into
+# one program and the valid-region crops are static slices
+ScalePlan = Tuple[int, int, int, int, int, int, int, int, int, int, int,
+                  float]
 
-    valids: (n_pieces, 2) int32 [valid_rows, valid_cols] per piece.
-    """
+
+def _trace_pyramid(imgs, bank0, bank1, thresh0, thresh1, flip0, leaves,
+                   stage_thresholds, norm_mask, plan: Tuple[ScalePlan, ...],
+                   wh: int, ww: int, stage_bounds: Tuple[int, ...],
+                   precision, survivor_div: int):
+    """Trace every pyramid scale: resize + integer-quantise + evaluate
+    (+ row-band chunking for memory-bounded scales), cropping each mask
+    to its valid region. Returns (flats, overflow): a list of (B, n_i)
+    flat bool masks in plan order — the decode metadata in
+    ``_plan_decode_meta`` mirrors this layout exactly — and the OR of
+    every piece's survivor-buffer overflow flag."""
+    args = (bank0, bank1, thresh0, thresh1, flip0, leaves,
+            stage_thresholds, norm_mask)
+    b = imgs.shape[0]
     flats = []
-    for i, p in enumerate(pieces):
-        ih = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
-        iw = jax.lax.broadcasted_iota(jnp.int32, p.shape, 2)
-        m = jnp.logical_and(p, jnp.logical_and(ih < valids[i, 0],
-                                               iw < valids[i, 1]))
-        flats.append(m.reshape(p.shape[0], -1))
+    overflow = jnp.zeros((), bool)
+    for (sh, sw, bh, bw, stride, oh, ow, n_bands, boh, bph, pad_rows,
+         _factor) in plan:
+        # cv2-style bilinear (no antialias) + round to integer pixels
+        # (OpenCV's uint8 pyramid; enables the exact bf16 MXU path) +
+        # zero-pad to the 64-bucketed compile shape. Padding windows are
+        # cropped away below, so they can never become detections.
+        scaled = jax.image.resize(imgs.astype(jnp.float32), (b, sh, sw),
+                                  method="linear", antialias=False)
+        scaled = jnp.clip(jnp.round(scaled), 0.0, 255.0)
+        if (bh + pad_rows, bw) != (sh, sw):
+            scaled = jnp.pad(scaled, ((0, 0), (0, bh + pad_rows - sh),
+                                      (0, bw - sw)))
+        if n_bands == 1:
+            mask, ovf = _eval_windows(scaled, *args, wh, ww, stride,
+                                      stage_bounds, precision,
+                                      survivor_div)
+            overflow = jnp.logical_or(overflow, ovf)
+            flats.append(mask[:, :oh, :ow].reshape(b, -1))
+        else:
+            # row bands bound the (N, T) intermediates (e.g. 4K frames
+            # at the first stride-1 scale)
+            for bi in range(n_bands):
+                r0 = bi * boh * stride
+                band = jax.lax.slice(scaled, (0, r0, 0),
+                                     (b, r0 + bph, scaled.shape[2]))
+                mask, ovf = _eval_windows(band, *args, wh, ww, stride,
+                                          stage_bounds, precision,
+                                          survivor_div)
+                overflow = jnp.logical_or(overflow, ovf)
+                vr = min(boh, oh - bi * boh)
+                flats.append(mask[:, :vr, :ow].reshape(b, -1))
+    return flats, overflow
+
+
+@functools.partial(jax.jit, static_argnames=("plan", "wh", "ww",
+                                             "stage_bounds", "precision",
+                                             "survivor_div", "k"))
+def _run_pyramid_packed(imgs, bank0, bank1, thresh0, thresh1, flip0, leaves,
+                        stage_thresholds, norm_mask,
+                        plan: Tuple[ScalePlan, ...], wh: int, ww: int,
+                        stage_bounds: Tuple[int, ...], precision,
+                        survivor_div: int, k: int):
+    """THE detect program: whole pyramid (with the two-phase survivor
+    prefilter) + device-side candidate compaction in one compiled XLA
+    program. Returns one (B, k+2) int32 array
+    [idx_0..idx_{k-1}, total_count, pre_overflow] per frame — a single
+    few-KB readback serves the entire batch. Slots past the count hold
+    -1; a frame whose count > k, or any run whose survivor buffer
+    overflowed (pre_overflow != 0, broadcast to every frame), falls back
+    to the dense ``_run_pyramid_masks`` (correctness over speed)."""
+    flats, overflow = _trace_pyramid(
+        imgs, bank0, bank1, thresh0, thresh1, flip0, leaves,
+        stage_thresholds, norm_mask, plan, wh, ww, stage_bounds,
+        precision, survivor_div)
     flat = jnp.concatenate(flats, axis=1)                   # (B, total)
     count = jnp.sum(flat.astype(jnp.int32), axis=1)         # (B,)
     idx = jax.vmap(
         lambda f: jnp.nonzero(f, size=k, fill_value=-1)[0])(flat)
-    return jnp.concatenate([idx.astype(jnp.int32), count[:, None]], axis=1)
+    ovf = jnp.broadcast_to(overflow.astype(jnp.int32)[None],
+                           (flat.shape[0],))
+    return jnp.concatenate([idx.astype(jnp.int32), count[:, None],
+                            ovf[:, None]], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("sh", "sw", "bh", "bw"))
-def _resize_pad(imgs, sh: int, sw: int, bh: int, bw: int):
-    """Pyramid step: f32 cast + resize (cv2-style bilinear, no
-    antialias) + round to integer pixels + zero-pad to the compile
-    bucket, in one jitted program (the cast here keeps uint8 device
-    frames 100% on the jitted path — an eager astype would dispatch
-    synchronously). Rounding reproduces OpenCV's uint8 pyramid
-    semantics and is what makes the bank matmuls exact under the
-    single-pass bf16 MXU path (module docstring)."""
-    b = imgs.shape[0]
-    scaled = jax.image.resize(imgs.astype(jnp.float32), (b, sh, sw),
-                              method="linear", antialias=False)
-    scaled = jnp.clip(jnp.round(scaled), 0.0, 255.0)
-    if (bh, bw) != (sh, sw):
-        scaled = jnp.pad(scaled, ((0, 0), (0, bh - sh), (0, bw - sw)))
-    return scaled
-
-
-@functools.partial(jax.jit, static_argnames=("bph", "wh", "ww", "stride",
+@functools.partial(jax.jit, static_argnames=("plan", "wh", "ww",
                                              "stage_bounds", "precision"))
-def _evaluate_band(images, start_row, bank0, bank1, thresh0, thresh1, flip0,
-                   leaves, stage_thresholds, norm_mask, bph: int, wh: int,
-                   ww: int, stride: int, stage_bounds: Tuple[int, ...],
-                   precision=jax.lax.Precision.DEFAULT):
-    """Evaluate one bph-row horizontal band (traced start row: one
-    compiled program serves every band of every scale at this width)."""
-    band = jax.lax.dynamic_slice(
-        images, (0, start_row, 0),
-        (images.shape[0], bph, images.shape[2]))
-    return _evaluate_scale(band, bank0, bank1, thresh0, thresh1, flip0,
-                           leaves, stage_thresholds, norm_mask, wh, ww,
-                           stride, stage_bounds, precision)
+def _run_pyramid_masks(imgs, bank0, bank1, thresh0, thresh1, flip0, leaves,
+                       stage_thresholds, norm_mask,
+                       plan: Tuple[ScalePlan, ...], wh: int, ww: int,
+                       stage_bounds: Tuple[int, ...], precision):
+    # dense: survivor_div=0 disables the prefilter
+    """Overflow fallback: the full (B, total) flat mask readback — a
+    DENSE evaluation (no survivor prefilter), compiled only if a frame
+    ever exceeds the candidate buffer or a survivor buffer overflows."""
+    flats, _ = _trace_pyramid(imgs, bank0, bank1, thresh0, thresh1, flip0,
+                              leaves, stage_thresholds, norm_mask, plan,
+                              wh, ww, stage_bounds, precision,
+                              survivor_div=0)
+    return jnp.concatenate(flats, axis=1)
+
+
+@jax.jit
+def _expand0(img):
+    """(H, W) -> (1, H, W) as a jitted program: an eager img[None] on a
+    device-resident frame dispatches synchronously (~30 ms) on tunneled
+    backends."""
+    return img[None]
 
 
 def group_rectangles(boxes: np.ndarray, min_neighbors: int,
@@ -319,8 +425,8 @@ class HaarCascadeDetector:
                            if _banks_exact_in_bf16(d)
                            else jax.lax.Precision.HIGHEST)
 
-    # windows evaluated per program call (including the frames axis):
-    # bounds the (N, T) feature intermediates to a few hundred MB
+    # windows evaluated per traced cascade call (including the frames
+    # axis): bounds the (N, T) feature intermediates to a few hundred MB
     # regardless of image size or batch
     MAX_WINDOWS_PER_CALL = 1 << 16
 
@@ -329,48 +435,25 @@ class HaarCascadeDetector:
     # full-mask readback path
     MAX_CANDIDATES = 1 << 10
 
-    def _mask_pieces(self, scaled, sh: int, sw: int, stride: int):
-        """Pass mask for one pyramid scale as a list of DEVICE arrays
-        (row bands of the full-width (B, oh, ow) mask) — no host
-        readback here, so the whole pyramid can be enqueued before a
-        single transfer. Banding bounds the (N, T) feature
-        intermediates when the window count would blow up device memory
-        (e.g. 4K frames at the first stride-1 scale)."""
+    # survivor buffer divisor of the two-phase prefilter: windows
+    # passing the first N_PRE_STAGES stages are compacted into
+    # N // SURVIVOR_DIV slots before the remaining stages run; overflow
+    # falls back to the dense-mask program (0 disables the prefilter)
+    SURVIVOR_DIV = 4
+
+    def _pyramid_plan(self, n_frames: int, h: int,
+                      w: int) -> Tuple[ScalePlan, ...]:
+        """Static per-(B, H, W) pyramid plan: scaled sizes bucketed to
+        multiples of 64 (one compiled program per image-size class, not
+        per exact size), stride choice, and row-band chunking when
+        B*windows would blow past MAX_WINDOWS_PER_CALL."""
         d = self.data
         wh, ww = d.window_height, d.window_width
-        n_frames, bh, bw = scaled.shape
-        args = (self._bank0, self._bank1, self._thresh0, self._thresh1,
-                self._flip0, self._leaves, self._stage_thresholds,
-                self._norm_mask)
-        oh_full = (bh - wh) // stride + 1
-        ow_full = (bw - ww) // stride + 1
-        if n_frames * oh_full * ow_full <= self.MAX_WINDOWS_PER_CALL:
-            return [_evaluate_scale(
-                scaled, *args, wh, ww, stride, self._stage_bounds,
-                self._precision)]
-        boh = max(1, self.MAX_WINDOWS_PER_CALL // (n_frames * ow_full))
-        bph = boh * stride + wh - stride          # pixel rows per band
-        oh = (sh - wh) // stride + 1
-        n_bands = -(-oh // boh)
-        need = (n_bands - 1) * boh * stride + bph
-        if need > bh:
-            scaled = _pad_rows(scaled, need - bh)
-        return [_evaluate_band(
-            scaled, b * boh * stride, *args, bph, wh, ww, stride,
-            self._stage_bounds, self._precision) for b in range(n_bands)]
-
-    def _enqueue_pyramid(self, imgs_dev, h: int, w: int):
-        """Enqueue the whole scale pyramid for a (B, h, w) device frame
-        stack. Returns (pieces, scale_infos): device mask bands and
-        their decode metadata. No host readback happens here."""
-        d = self.data
-        pieces = []                    # device mask bands, all scales
-        scale_infos = []               # (first_piece, n_pieces, oh, ow,
-        #                                 stride, factor)
+        plan = []
         factor = 1.0
         while True:
-            win_w = d.window_width * factor
-            win_h = d.window_height * factor
+            win_w = ww * factor
+            win_h = wh * factor
             if win_w > w or win_h > h:
                 break
             if self.max_size and (win_w > self.max_size[0]
@@ -379,90 +462,94 @@ class HaarCascadeDetector:
             sw = int(round(w / factor))
             sh = int(round(h / factor))
             if (win_w >= self.min_size[0] and win_h >= self.min_size[1]
-                    and sw >= d.window_width and sh >= d.window_height):
-                # bucket the evaluated shape to multiples of 64 so the
-                # jitted program is reused across scales/images (one
-                # compile per bucket, not per exact size); the mask is
-                # cropped back to positions valid for the true size, so
-                # the zero padding cannot add detections
+                    and sw >= ww and sh >= wh):
                 bh = -(-sh // 64) * 64
                 bw = -(-sw // 64) * 64
-                scaled = _resize_pad(imgs_dev, sh, sw, bh, bw)
                 stride = 1 if factor > 2.0 else 2
-                ps = self._mask_pieces(scaled, sh, sw, stride)
-                oh = (sh - d.window_height) // stride + 1
-                ow = (sw - d.window_width) // stride + 1
-                scale_infos.append((len(pieces), len(ps), oh, ow,
-                                    stride, factor))
-                pieces.extend(ps)
+                oh = (sh - wh) // stride + 1
+                ow = (sw - ww) // stride + 1
+                oh_full = (bh - wh) // stride + 1
+                ow_full = (bw - ww) // stride + 1
+                if n_frames * oh_full * ow_full <= self.MAX_WINDOWS_PER_CALL:
+                    n_bands, boh, bph, pad_rows = 1, oh, bh, 0
+                else:
+                    boh = max(1, self.MAX_WINDOWS_PER_CALL
+                              // (n_frames * ow_full))
+                    bph = boh * stride + wh - stride  # pixel rows per band
+                    n_bands = -(-oh // boh)
+                    need = (n_bands - 1) * boh * stride + bph
+                    pad_rows = max(0, need - bh)
+                plan.append((sh, sw, bh, bw, stride, oh, ow, n_bands,
+                             boh, bph, pad_rows, factor))
             factor *= self.scale_factor
-        return pieces, scale_infos
+        return tuple(plan)
 
-    def _decode_boxes(self, pieces, scale_infos) -> List[np.ndarray]:
-        """ONE readback of the compacted per-frame candidate indices,
-        then pure-numpy decode to raw [x, y, w, h] boxes per frame."""
+    @staticmethod
+    def _plan_decode_meta(plan: Tuple[ScalePlan, ...]):
+        """Per-piece decode metadata matching _trace_pyramid's flat
+        layout: (offsets, band_row, out_width, stride, factor) arrays."""
+        band, pw, stride_a, factor_a, sizes = [], [], [], [], []
+        for (sh, sw, bh, bw, stride, oh, ow, n_bands, boh, bph, pad_rows,
+             factor) in plan:
+            for bi in range(n_bands):
+                vr = min(boh, oh - bi * boh) if n_bands > 1 else oh
+                band.append(bi * boh)
+                pw.append(ow)
+                stride_a.append(stride)
+                factor_a.append(factor)
+                sizes.append(vr * ow)
+        offsets = np.cumsum([0] + sizes)
+        return (offsets, np.asarray(band, np.int64),
+                np.asarray(pw, np.int64), np.asarray(stride_a, np.int64),
+                np.asarray(factor_a, np.float64))
+
+    def _detect_stack(self, imgs_dev, h: int, w: int) -> List[np.ndarray]:
         d = self.data
-        n_frames = pieces[0].shape[0]
-        # per-piece decode metadata (band row offset in output-row
-        # units, valid rows/cols, scale stride/factor)
-        p_valid = np.zeros((len(pieces), 2), np.int32)
-        p_band = np.zeros(len(pieces), np.int64)
-        p_stride = np.zeros(len(pieces), np.int64)
-        p_factor = np.zeros(len(pieces), np.float64)
-        for first, n_ps, oh, ow, stride, factor in scale_infos:
-            for b in range(n_ps):
-                i = first + b
-                boh = pieces[i].shape[1]
-                p_valid[i] = (min(boh, oh - b * boh), ow)
-                p_band[i] = b * boh
-                p_stride[i] = stride
-                p_factor[i] = factor
-        # ONE few-KB readback: compacted flat candidate indices, all frames
-        packed = np.asarray(_compact_candidates(
-            jnp.asarray(p_valid), self.MAX_CANDIDATES, *pieces))
-        offsets = np.cumsum(
-            [0] + [int(np.prod(p.shape[1:])) for p in pieces])
-        flat_full = None               # lazy full-mask overflow fallback
-        keep_full = None
-        out: List[np.ndarray] = []
+        n_frames = int(imgs_dev.shape[0])
+        plan = self._pyramid_plan(n_frames, h, w)
+        if not plan:
+            raws = [np.zeros((0, 4), np.float32)] * n_frames
+            if self.min_neighbors > 0:
+                return raws
+            return raws
+        args = (self._bank0, self._bank1, self._thresh0, self._thresh1,
+                self._flip0, self._leaves, self._stage_thresholds,
+                self._norm_mask)
+        statics = (plan, d.window_height, d.window_width,
+                   self._stage_bounds, self._precision)
+        # ONE program dispatch + ONE few-KB readback for the whole batch
+        packed = np.asarray(_run_pyramid_packed(
+            imgs_dev, *args, *statics, self.SURVIVOR_DIV,
+            self.MAX_CANDIDATES))
+        offsets, p_band, p_w, p_stride, p_factor = \
+            self._plan_decode_meta(plan)
+        masks_full = None              # lazy full-mask overflow fallback
+        raws = []
         for fi in range(n_frames):
-            count = int(packed[fi, -1])
-            if count <= self.MAX_CANDIDATES:
+            count = int(packed[fi, -2])
+            pre_overflow = bool(packed[fi, -1])
+            if count <= self.MAX_CANDIDATES and not pre_overflow:
                 sel = packed[fi, :count].astype(np.int64)
             else:
-                # overflow: fall back to the full-mask readback (valid-
-                # region masking + flat indices, identical decode below)
-                if flat_full is None:
-                    flat_full = np.asarray(_flatten_masks(*pieces))
-                    keep_full = np.zeros(offsets[-1], bool)
-                    for i, p in enumerate(pieces):
-                        m = np.zeros(p.shape[1:], bool)
-                        m[:p_valid[i, 0], :p_valid[i, 1]] = True
-                        keep_full[offsets[i]:offsets[i + 1]] = m.reshape(-1)
-                sel = np.nonzero(flat_full[fi] & keep_full)[0]
+                # overflow (candidate buffer or survivor prefilter):
+                # dense full-mask readback (identical decode below)
+                if masks_full is None:
+                    masks_full = np.asarray(_run_pyramid_masks(
+                        imgs_dev, *args, *statics))
+                sel = np.nonzero(masks_full[fi])[0]
             if not len(sel):
-                out.append(np.zeros((0, 4), np.float32))
+                raws.append(np.zeros((0, 4), np.float32))
                 continue
             pid = np.searchsorted(offsets, sel, side="right") - 1
             local = sel - offsets[pid]
-            pw = np.array([p.shape[2] for p in pieces])[pid]
-            ys = p_band[pid] + local // pw
-            xs = local % pw
+            ys = p_band[pid] + local // p_w[pid]
+            xs = local % p_w[pid]
             sf = p_stride[pid] * p_factor[pid]
-            out.append(np.stack([
+            raws.append(np.stack([
                 np.round(xs * sf), np.round(ys * sf),
                 np.round(d.window_width * p_factor[pid]),
                 np.round(d.window_height * p_factor[pid])],
                 axis=1).astype(np.float32))
-        return out
-
-    def _detect_stack(self, imgs_dev, h: int, w: int) -> List[np.ndarray]:
-        pieces, scale_infos = self._enqueue_pyramid(imgs_dev, h, w)
-        n_frames = imgs_dev.shape[0]
-        if not pieces:
-            raws = [np.zeros((0, 4), np.float32)] * n_frames
-        else:
-            raws = self._decode_boxes(pieces, scale_infos)
         if self.min_neighbors > 0:
             return [group_rectangles(r, self.min_neighbors) for r in raws]
         return raws
@@ -477,33 +564,32 @@ class HaarCascadeDetector:
             # device-resident frame (e.g. the tracking loop's uploaded
             # frame): skip the synchronous host->device re-upload, which
             # costs a full RTT per call on tunneled backends (any dtype;
-            # _resize_pad casts to f32 inside its jitted program)
+            # the pyramid program casts to f32 internally)
             if image.ndim != 2:
                 raise ValueError("expected a (H, W) grayscale image")
             h, w = image.shape
-            imgs_dev = image[None]
+            imgs_dev = _expand0(image)
         else:
             img = np.asarray(image, np.float32)
             if img.ndim != 2:
                 raise ValueError("expected a (H, W) grayscale image")
             h, w = img.shape
-            # one upload per image; every per-scale step below is a
-            # jitted call (eager ops dispatch synchronously on remote
-            # backends)
+            # one upload per image; everything else is ONE jitted call
             imgs_dev = jnp.asarray(img[None])
-        return self._detect_stack(imgs_dev, h, w)[0]
+        return self._detect_stack(imgs_dev, int(h), int(w))[0]
 
     def detect_batch(self, images) -> List[np.ndarray]:
         """Detect objects in a stack of same-shape grayscale frames.
 
         images: (B, H, W) array (numpy or device-resident jax.Array, any
-        integer-valued dtype). The whole batch shares one pyramid
-        enqueue and ONE device->host candidate readback, so per-frame
-        cost amortises the tunnel RTT that dominates single-frame
-        detect() on remote backends — this is the entry point for video
-        segments, training-set re-detection, and tracking-loss recovery
-        sweeps (reference: rcr-train.cpp:410 re-detects every training
-        image one by one through cv::detectMultiScale).
+        integer-valued dtype). The whole batch shares one compiled
+        pyramid program and ONE device->host candidate readback, so
+        per-frame cost amortises the tunnel RTT that dominates
+        single-frame detect() on remote backends — this is the entry
+        point for video segments, training-set re-detection, and
+        tracking-loss recovery sweeps (reference: rcr-train.cpp:410
+        re-detects every training image one by one through
+        cv::detectMultiScale).
 
         Returns a list of B (K_i, 4) float32 [x, y, w, h] grouped boxes.
         """

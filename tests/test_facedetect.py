@@ -148,6 +148,26 @@ def test_banded_evaluation_matches_unbanded(detector):
     np.testing.assert_allclose(out, ref)
 
 
+def test_prefilter_matches_dense_and_overflow_fallback(detector):
+    """The two-phase survivor prefilter is bit-identical to dense
+    evaluation, and a too-small survivor buffer trips the pre_overflow
+    flag into the dense-mask fallback with identical results."""
+    from superviseddescent_tpu.models.facedetect import HaarCascadeDetector
+    from superviseddescent_tpu.ops.patches import load_gray_image
+    img = np.asarray(load_gray_image(os.path.join(DATA, "image_0002.png")))
+    ref = detector.detect(img)          # default SURVIVOR_DIV=4
+
+    dense = HaarCascadeDetector(XML, scale_factor=1.2, min_neighbors=2,
+                                min_size=(50, 50))
+    dense.SURVIVOR_DIV = 0              # prefilter disabled
+    np.testing.assert_array_equal(dense.detect(img), ref)
+
+    tiny = HaarCascadeDetector(XML, scale_factor=1.2, min_neighbors=2,
+                               min_size=(50, 50))
+    tiny.SURVIVOR_DIV = 1 << 20         # 128-slot buffer: must overflow
+    np.testing.assert_array_equal(tiny.detect(img), ref)
+
+
 def test_detect_batch_matches_single(detector):
     """detect_batch (one pyramid enqueue + ONE readback for the whole
     stack) returns exactly what per-frame detect() returns."""
