@@ -45,7 +45,7 @@ def main():
         pad_width_to=128)
     img_dev = jax.device_put(jnp.asarray(np.asarray(stack[0], np.float32)))
     h, w = img_dev.shape
-    imgs = fd._expand0(img_dev)
+    imgs = img_dev    # 2D: the program adds the frames axis in-trace
 
     det.detect(img_dev)                      # warm everything
 
@@ -55,13 +55,20 @@ def main():
     args = (det._bank0, det._bank1, det._thresh0, det._thresh1,
             det._flip0, det._leaves, det._stage_thresholds,
             det._norm_mask)
+    total = sum(s[5] * s[6] for s in plan)
+    concat = total <= det.CONCAT_MAX and all(s[7] == 1 for s in plan)
     statics = (plan, d.window_height, d.window_width,
-               det._stage_bounds, det._precision)
+               det._stage_bounds, det._precision, concat)
+    print(f"total windows {total}, concat_eval={concat}")
+
+    packed = np.asarray(fd._run_pyramid_packed(
+        imgs, *args, *statics, det.SURVIVOR_DIV, det.MAX_CANDIDATES))
+    print(f"packed: count={packed[0, -2]} pre_overflow={packed[0, -1]}")
 
     t0 = time.perf_counter()
     for _ in range(reps):
-        packed = fd._run_pyramid_packed(imgs, *args, *statics,
-                                        det.MAX_CANDIDATES)
+        fd._run_pyramid_packed(imgs, *args, *statics,
+                               det.SURVIVOR_DIV, det.MAX_CANDIDATES)
     t_enq = (time.perf_counter() - t0) / reps
     print(f"A program dispatch only:   {t_enq*1e3:7.2f} ms "
           f"({len(plan)} scales, 1 program)")
@@ -69,6 +76,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(reps):
         np.asarray(fd._run_pyramid_packed(imgs, *args, *statics,
+                                          det.SURVIVOR_DIV,
                                           det.MAX_CANDIDATES))
     t_dec = (time.perf_counter() - t0) / reps
     print(f"C dispatch + readback:     {t_dec*1e3:7.2f} ms")

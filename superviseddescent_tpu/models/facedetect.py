@@ -129,33 +129,37 @@ def _stage_pass(leaf, stage_thresholds, stage_bounds, s_lo: int, s_hi: int,
     return passed
 
 
-def _eval_windows(images, bank0, bank1, thresh0, thresh1, flip0, leaves,
-                  stage_thresholds, norm_mask, wh: int, ww: int,
-                  stride: int, stage_bounds: Tuple[int, ...], precision,
-                  survivor_div: int = 4):
-    """Cascade evaluation over every stride-aligned window (traced
-    inside the pyramid program), in two phases: the first N_PRE_STAGES
-    stages run densely on all windows (a few % of the trees), then the
-    surviving windows are compacted to a fixed N//survivor_div buffer
-    (survivor_div=0 disables the prefilter: dense evaluation) and only
-    they see the remaining ~97% of the bank — OpenCV's
-    early-out rebuilt as a static gather instead of branching. Cuts both
-    the dominant (N, T) matmul FLOPs and HBM traffic ~4-20x; results are
-    bit-identical to the dense evaluation (_tree_leaves docstring).
-
-    images: (B, H, W) f32 grayscale (integer-valued pixels for the exact
-    bf16 path). Returns ((B, oh, ow) bool pass mask, pre_overflow bool
-    scalar — True when the survivor buffer was too small, in which case
-    the mask is only correct where passed_pre is False and the caller
-    must fall back to a dense program).
-    """
-    b_frames = images.shape[0]
+def _patch_rows(images, wh: int, ww: int, stride: int):
+    """Extract every stride-aligned window of a (B, H, W) image stack as
+    rows of a (B*oh*ow, wh*ww) matrix (b-major, then y, then x)."""
     patches = jax.lax.conv_general_dilated_patches(
         images[:, None], filter_shape=(wh, ww),
         window_strides=(stride, stride),
         padding="VALID")                                    # (B, wh*ww, oh, ow)
     _, d, oh, ow = patches.shape
-    p = jnp.moveaxis(patches, 1, -1).reshape(-1, d)         # (B*oh*ow, wh*ww)
+    return jnp.moveaxis(patches, 1, -1), oh, ow
+
+
+def _eval_patch_rows(p, bank0, bank1, thresh0, thresh1, flip0, leaves,
+                     stage_thresholds, norm_mask,
+                     stage_bounds: Tuple[int, ...], precision,
+                     survivor_div: int):
+    """Cascade evaluation of window-patch rows (traced inside the
+    pyramid program), in two phases: the first N_PRE_STAGES stages run
+    densely on all rows (a few % of the trees), then the surviving rows
+    are compacted to a fixed N//survivor_div buffer (survivor_div=0
+    disables the prefilter: dense evaluation) and only they see the
+    remaining ~97% of the bank — OpenCV's early-out rebuilt as a static
+    gather instead of branching. Cuts both the dominant (N, T) matmul
+    FLOPs and HBM traffic ~4-20x; results are bit-identical to the dense
+    evaluation (_tree_leaves docstring).
+
+    p: (N, wh*ww) f32 patch rows (integer-valued pixels for the exact
+    bf16 path). Returns ((N,) bool pass mask, pre_overflow bool scalar —
+    True when the survivor buffer was too small, in which case the mask
+    is only correct where passed_pre is False and the caller must fall
+    back to a dense program).
+    """
     n = p.shape[0]
 
     # inner-rect variance norm factor (OpenCV normrect = (1,1,w-2,h-2)):
@@ -183,8 +187,7 @@ def _eval_windows(images, bank0, bank1, thresh0, thresh1, flip0, leaves,
     passed_pre = _stage_pass(leaf_pre, stage_thresholds, stage_bounds,
                              0, n_pre, 0)
     if n_pre == n_stages:
-        return (passed_pre.reshape(b_frames, oh, ow),
-                jnp.zeros((), bool))
+        return passed_pre, jnp.zeros((), bool)
 
     k = max(128, n // survivor_div) if survivor_div > 0 else n
     n_surv = jnp.sum(passed_pre.astype(jnp.int32))
@@ -194,8 +197,8 @@ def _eval_windows(images, bank0, bank1, thresh0, thresh1, flip0, leaves,
         leaf_rest = _tree_leaves(p, nf, *args, t_pre, t_total)
         passed_rest = _stage_pass(leaf_rest, stage_thresholds,
                                   stage_bounds, n_pre, n_stages, t_pre)
-        return (jnp.logical_and(passed_pre, passed_rest)
-                .reshape(b_frames, oh, ow), jnp.zeros((), bool))
+        return (jnp.logical_and(passed_pre, passed_rest),
+                jnp.zeros((), bool))
 
     (idx,) = jnp.nonzero(passed_pre, size=k, fill_value=0)
     p_sel = jnp.take(p, idx, axis=0)                        # (k, wh*ww)
@@ -209,7 +212,23 @@ def _eval_windows(images, bank0, bank1, thresh0, thresh1, flip0, leaves,
     passed_rest = jnp.zeros((n,), bool).at[idx].max(
         jnp.logical_and(passed_sel, valid))
     passed = jnp.logical_and(passed_pre, passed_rest)
-    return (passed.reshape(b_frames, oh, ow), n_surv > k)
+    return passed, n_surv > k
+
+
+def _eval_windows(images, bank0, bank1, thresh0, thresh1, flip0, leaves,
+                  stage_thresholds, norm_mask, wh: int, ww: int,
+                  stride: int, stage_bounds: Tuple[int, ...], precision,
+                  survivor_div: int = 4):
+    """_patch_rows + _eval_patch_rows for one (B, H, W) scale: returns
+    ((B, oh, ow) bool pass mask, pre_overflow scalar)."""
+    b_frames = images.shape[0]
+    pr, oh, ow = _patch_rows(images, wh, ww, stride)
+    p = pr.reshape(-1, pr.shape[-1])
+    passed, ovf = _eval_patch_rows(
+        p, bank0, bank1, thresh0, thresh1, flip0, leaves,
+        stage_thresholds, norm_mask, stage_bounds, precision,
+        survivor_div)
+    return passed.reshape(b_frames, oh, ow), ovf
 
 
 # per-scale plan entry: (sh, sw, bh, bw, stride, oh, ow, n_bands, boh,
@@ -222,16 +241,53 @@ ScalePlan = Tuple[int, int, int, int, int, int, int, int, int, int, int,
 def _trace_pyramid(imgs, bank0, bank1, thresh0, thresh1, flip0, leaves,
                    stage_thresholds, norm_mask, plan: Tuple[ScalePlan, ...],
                    wh: int, ww: int, stage_bounds: Tuple[int, ...],
-                   precision, survivor_div: int):
+                   precision, survivor_div: int, concat_eval: bool):
     """Trace every pyramid scale: resize + integer-quantise + evaluate
     (+ row-band chunking for memory-bounded scales), cropping each mask
     to its valid region. Returns (flats, overflow): a list of (B, n_i)
     flat bool masks in plan order — the decode metadata in
     ``_plan_decode_meta`` mirrors this layout exactly — and the OR of
-    every piece's survivor-buffer overflow flag."""
+    every piece's survivor-buffer overflow flag.
+
+    concat_eval=True (small total window counts — the batch-1 serving
+    case) concatenates EVERY scale's valid patch rows and runs ONE
+    evaluation chain (one variance pass, one pre-stage matmul, one
+    survivor compaction, one rest-stage matmul) instead of one chain per
+    scale: at batch 1 each scale's tensors are tiny and the program is
+    per-op-floor-bound (measured 20.8 ms net for 12 chains vs 6.7
+    ms/frame amortised at B=32, scripts/probe_haar.py), so collapsing
+    ~12x the op count is the latency lever. Identical results: the row
+    evaluation is row-independent (_tree_leaves docstring) and the
+    caller only sets it when no scale needs row-band chunking."""
     args = (bank0, bank1, thresh0, thresh1, flip0, leaves,
             stage_thresholds, norm_mask)
+    if imgs.ndim == 2:
+        imgs = imgs[None]      # free inside the traced program — saves
+        #                        the separate _expand0 dispatch at batch 1
     b = imgs.shape[0]
+    if concat_eval:
+        plist, sizes = [], []
+        for (sh, sw, bh, bw, stride, oh, ow, n_bands, boh, bph, pad_rows,
+             _factor) in plan:
+            scaled = jax.image.resize(imgs.astype(jnp.float32),
+                                      (b, sh, sw), method="linear",
+                                      antialias=False)
+            scaled = jnp.clip(jnp.round(scaled), 0.0, 255.0)
+            if (bh + pad_rows, bw) != (sh, sw):
+                scaled = jnp.pad(scaled, ((0, 0), (0, bh + pad_rows - sh),
+                                          (0, bw - sw)))
+            pr, _ohf, _owf = _patch_rows(scaled, wh, ww, stride)
+            plist.append(pr[:, :oh, :ow, :].reshape(-1, pr.shape[-1]))
+            sizes.append((oh, ow))
+        p_all = jnp.concatenate(plist, axis=0)
+        passed, overflow = _eval_patch_rows(
+            p_all, *args, stage_bounds, precision, survivor_div)
+        flats, off = [], 0
+        for oh, ow in sizes:
+            nsc = b * oh * ow
+            flats.append(passed[off:off + nsc].reshape(b, -1))
+            off += nsc
+        return flats, overflow
     flats = []
     overflow = jnp.zeros((), bool)
     for (sh, sw, bh, bw, stride, oh, ow, n_bands, boh, bph, pad_rows,
@@ -270,12 +326,13 @@ def _trace_pyramid(imgs, bank0, bank1, thresh0, thresh1, flip0, leaves,
 
 @functools.partial(jax.jit, static_argnames=("plan", "wh", "ww",
                                              "stage_bounds", "precision",
-                                             "survivor_div", "k"))
+                                             "concat_eval", "survivor_div",
+                                             "k"))
 def _run_pyramid_packed(imgs, bank0, bank1, thresh0, thresh1, flip0, leaves,
                         stage_thresholds, norm_mask,
                         plan: Tuple[ScalePlan, ...], wh: int, ww: int,
                         stage_bounds: Tuple[int, ...], precision,
-                        survivor_div: int, k: int):
+                        concat_eval: bool, survivor_div: int, k: int):
     """THE detect program: whole pyramid (with the two-phase survivor
     prefilter) + device-side candidate compaction in one compiled XLA
     program. Returns one (B, k+2) int32 array
@@ -287,7 +344,7 @@ def _run_pyramid_packed(imgs, bank0, bank1, thresh0, thresh1, flip0, leaves,
     flats, overflow = _trace_pyramid(
         imgs, bank0, bank1, thresh0, thresh1, flip0, leaves,
         stage_thresholds, norm_mask, plan, wh, ww, stage_bounds,
-        precision, survivor_div)
+        precision, survivor_div, concat_eval)
     flat = jnp.concatenate(flats, axis=1)                   # (B, total)
     count = jnp.sum(flat.astype(jnp.int32), axis=1)         # (B,)
     idx = jax.vmap(
@@ -299,11 +356,13 @@ def _run_pyramid_packed(imgs, bank0, bank1, thresh0, thresh1, flip0, leaves,
 
 
 @functools.partial(jax.jit, static_argnames=("plan", "wh", "ww",
-                                             "stage_bounds", "precision"))
+                                             "stage_bounds", "precision",
+                                             "concat_eval"))
 def _run_pyramid_masks(imgs, bank0, bank1, thresh0, thresh1, flip0, leaves,
                        stage_thresholds, norm_mask,
                        plan: Tuple[ScalePlan, ...], wh: int, ww: int,
-                       stage_bounds: Tuple[int, ...], precision):
+                       stage_bounds: Tuple[int, ...], precision,
+                       concat_eval: bool):
     # dense: survivor_div=0 disables the prefilter
     """Overflow fallback: the full (B, total) flat mask readback — a
     DENSE evaluation (no survivor prefilter), compiled only if a frame
@@ -311,16 +370,8 @@ def _run_pyramid_masks(imgs, bank0, bank1, thresh0, thresh1, flip0, leaves,
     flats, _ = _trace_pyramid(imgs, bank0, bank1, thresh0, thresh1, flip0,
                               leaves, stage_thresholds, norm_mask, plan,
                               wh, ww, stage_bounds, precision,
-                              survivor_div=0)
+                              survivor_div=0, concat_eval=concat_eval)
     return jnp.concatenate(flats, axis=1)
-
-
-@jax.jit
-def _expand0(img):
-    """(H, W) -> (1, H, W) as a jitted program: an eager img[None] on a
-    device-resident frame dispatches synchronously (~30 ms) on tunneled
-    backends."""
-    return img[None]
 
 
 def group_rectangles(boxes: np.ndarray, min_neighbors: int,
@@ -441,6 +492,11 @@ class HaarCascadeDetector:
     # falls back to the dense-mask program (0 disables the prefilter)
     SURVIVOR_DIV = 4
 
+    # below this total window count the pyramid evaluates as ONE
+    # concatenated chain across all scales (latency mode; ~256k windows
+    # x 400 px = ~410 MB of patch rows)
+    CONCAT_MAX = 1 << 18
+
     def _pyramid_plan(self, n_frames: int, h: int,
                       w: int) -> Tuple[ScalePlan, ...]:
         """Static per-(B, H, W) pyramid plan: scaled sizes bucketed to
@@ -505,7 +561,7 @@ class HaarCascadeDetector:
 
     def _detect_stack(self, imgs_dev, h: int, w: int) -> List[np.ndarray]:
         d = self.data
-        n_frames = int(imgs_dev.shape[0])
+        n_frames = 1 if imgs_dev.ndim == 2 else int(imgs_dev.shape[0])
         plan = self._pyramid_plan(n_frames, h, w)
         if not plan:
             raws = [np.zeros((0, 4), np.float32)] * n_frames
@@ -515,8 +571,15 @@ class HaarCascadeDetector:
         args = (self._bank0, self._bank1, self._thresh0, self._thresh1,
                 self._flip0, self._leaves, self._stage_thresholds,
                 self._norm_mask)
+        # one concatenated evaluation chain when the total window
+        # count is small (the latency-sensitive batch-1 case; the plan
+        # never bands below CONCAT_MAX <= MAX_WINDOWS_PER_CALL*B classes
+        # that band, so all n_bands are 1 whenever this fires)
+        total_windows = n_frames * sum(s[5] * s[6] for s in plan)
+        concat_eval = (total_windows <= self.CONCAT_MAX
+                       and all(s[7] == 1 for s in plan))
         statics = (plan, d.window_height, d.window_width,
-                   self._stage_bounds, self._precision)
+                   self._stage_bounds, self._precision, concat_eval)
         # ONE program dispatch + ONE few-KB readback for the whole batch
         packed = np.asarray(_run_pyramid_packed(
             imgs_dev, *args, *statics, self.SURVIVOR_DIV,
@@ -568,7 +631,8 @@ class HaarCascadeDetector:
             if image.ndim != 2:
                 raise ValueError("expected a (H, W) grayscale image")
             h, w = image.shape
-            imgs_dev = _expand0(image)
+            imgs_dev = image       # 2D: the pyramid program adds the
+            #                        frames axis inside the trace
         else:
             img = np.asarray(image, np.float32)
             if img.ndim != 2:
