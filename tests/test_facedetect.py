@@ -168,6 +168,22 @@ def test_prefilter_matches_dense_and_overflow_fallback(detector):
     np.testing.assert_array_equal(tiny.detect(img), ref)
 
 
+def test_concat_eval_matches_per_scale(detector):
+    """The concatenated-scale latency mode (one evaluation chain across
+    all pyramid scales, used whenever total windows <= CONCAT_MAX) is
+    bit-identical to per-scale evaluation. The default detector hits
+    concat_eval=True on the LFPW frames; forcing CONCAT_MAX=0 compiles
+    the per-scale chain (single band per scale) over the same plan."""
+    from superviseddescent_tpu.models.facedetect import HaarCascadeDetector
+    from superviseddescent_tpu.ops.patches import load_gray_image
+    img = np.asarray(load_gray_image(os.path.join(DATA, "image_0003.png")))
+    ref = detector.detect(img)          # concat path (~79k windows)
+    per_scale = HaarCascadeDetector(XML, scale_factor=1.2, min_neighbors=2,
+                                    min_size=(50, 50))
+    per_scale.CONCAT_MAX = 0            # force per-scale chains
+    np.testing.assert_array_equal(per_scale.detect(img), ref)
+
+
 def test_detect_batch_matches_single(detector):
     """detect_batch (one pyramid enqueue + ONE readback for the whole
     stack) returns exactly what per-frame detect() returns."""
