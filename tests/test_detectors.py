@@ -345,6 +345,65 @@ def test_fused_config_validation():
                      patch_backend="fused")
 
 
+def test_dalaltriggs_model_end_to_end(tmp_path):
+    # The VLFeat kernel's second variant (hog.c:212-223: 4*O dims/cell
+    # vs Uoctti's 3*O+4) must work END TO END, not just at the HOG-op
+    # level: train a model whose hog_params use DalalTriggs and serve it
+    # through the batched detector. The fused kernel validates-and-
+    # rejects non-Uoctti (test_fused_config_validation); everything
+    # upstream of it — feature dims, Matlab-order flatten, cereal
+    # round-trip — is variant-generic and this pins that.
+    import jax.numpy as jnp
+    images, rows = [], []
+    for png in sorted(glob.glob(os.path.join(DATA, "*.png"))):
+        lms = read_pts_landmarks(png.replace(".png", ".pts"))
+        images.append(load_gray_image(png))
+        rows.append(to_row(lms.filter(LANDMARKS)))
+    stack, _ = stack_images(images)
+    gt_rows = np.stack(rows)
+    boxes = np.stack([gt_facebox(to_landmark_collection(r, LANDMARKS))
+                      for r in gt_rows]).astype(np.float32)
+    l = len(LANDMARKS)
+    mean = np.mean([np.concatenate([(r[:l] - b[0]) / b[2] - 0.5,
+                                    (r[l:] - b[1]) / b[3] - 0.5])
+                    for r, b in zip(gt_rows, boxes)],
+                   axis=0).astype(np.float32)
+    hog_dt = (HogParams(HogVariant.DalalTriggs, 3, 6, 4, 0.7),
+              HogParams(HogVariant.DalalTriggs, 3, 4, 4, 0.4))
+    cfg = RcrTrainConfig(
+        hog_params=hog_dt, num_perturbations=2, seed=5,
+        regularisation=Regulariser(RegularisationType.MatrixNorm, 0.1,
+                                   False))
+    model = train_rcr(stack, gt_rows, boxes, LANDMARKS, RIGHT_EYE,
+                      LEFT_EYE, mean, cfg)
+    # feature dim: 4*O*cells^2 per landmark + bias
+    assert model.sdo.regressors[0].weights.shape[0] == 16 * 9 * l + 1
+
+    from superviseddescent_tpu.models import normalised_landmark_errors
+    from superviseddescent_tpu.models.rcr import align_mean
+    from superviseddescent_tpu.utils.landmarks import resolve_eye_indices
+    r_idx, l_idx = resolve_eye_indices(LANDMARKS, RIGHT_EYE, LEFT_EYE)
+    pred = np.asarray(model.detect_batch(
+        stack, boxes, image_indices=jnp.arange(len(boxes))))
+    err = float(np.mean(normalised_landmark_errors(
+        jnp.asarray(pred), jnp.asarray(gt_rows), r_idx, l_idx)))
+    init_err = float(np.mean(normalised_landmark_errors(
+        align_mean(mean[None], jnp.asarray(boxes)), jnp.asarray(gt_rows),
+        r_idx, l_idx)))
+    assert err < 0.1 and err < init_err / 2, (err, init_err)
+
+    # the cereal round-trip carries the variant enum (adaptive_vlhog.hpp
+    # :55-59 serialises it): reload and reproduce the same landmarks
+    path = str(tmp_path / "dalaltriggs.bin")
+    model.save(path)
+    from superviseddescent_tpu.models import DetectionModel
+    model2 = DetectionModel.load(path)
+    assert model2.hog_params[0].variant == HogVariant.DalalTriggs
+    pred2 = np.asarray(model2.detect_batch(
+        stack, boxes, image_indices=jnp.arange(len(boxes))))
+    np.testing.assert_allclose(pred2, pred, atol=1e-4)
+
+
 def test_cofw29_scale_model_end_to_end():
     # The reference ships a second model family at 29 landmarks
     # (face_landmarks_model_rcr_cofw_29.bin, .MISSING_LARGE_BLOBS). The
