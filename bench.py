@@ -478,42 +478,6 @@ def main():
     }
     print(json.dumps(out), flush=True)
 
-    # ---- stepped per-level path (diagnostic + best-path check) ---- #
-    detect = model.make_stepped_detector(batch, roi=512, sampling="fast",
-                                         window_sampler=True,
-                                         max_ied=max_ied)
-    t0 = time.time()
-    out_st = detect(bench_images, bench_boxes)
-    out_st.block_until_ready()
-    log(f"stepped detect compile+first: {time.time()-t0:.1f}s")
-    err = float(np.mean(np.asarray(normalised_landmark_errors(
-        np.asarray(out_st), gt_rows[sel], right_idx, left_idx))))
-    log(f"IOD-normalised detect error (train-set faces): {err:.4f}")
-    dt_st, _ = measure(detect, bench_images, bench_boxes, reps=30)
-    log(f"stepped detect: {dt_st*1e3:.2f} ms / {batch} faces "
-        f"-> {batch/dt_st:.0f} faces/sec")
-    if dt_st < dt:
-        dt, best = dt_st, "stepped"
-        faces_per_sec = batch / dt
-        out["value"] = round(faces_per_sec, 1)
-        out["vs_baseline"] = round(faces_per_sec / 10000.0, 4)
-        print(json.dumps(out), flush=True)
-    log(f"best path: {best} "
-        f"-> {faces_per_sec:.0f} faces/sec on {len(devices)} device(s)")
-
-    # exact-f32-sampling accuracy cross-check (pure diagnostic; its cold
-    # compile is ~2 min, so it is budget-gated like the optional sections)
-    if budget_allows(40, "exact-sampling accuracy cross-check"):
-        detect_exact = model.make_stepped_detector(batch, roi=512,
-                                                   sampling="exact",
-                                                   window_sampler=True,
-                                                   max_ied=max_ied)
-        out_exact = detect_exact(bench_images, bench_boxes)
-        err_exact = float(np.mean(np.asarray(normalised_landmark_errors(
-            np.asarray(out_exact), gt_rows[sel], right_idx, left_idx))))
-        log(f"IOD-normalised detect error, exact-f32 sampling: "
-            f"{err_exact:.4f}")
-
     # ---- sharded fused path on real silicon (VERDICT r2 item 3):
     # shard_map(fused kernel) on a 1-device mesh must equal the
     # unsharded fused output and run at the same throughput ---- #
@@ -539,6 +503,46 @@ def main():
     log(f"fused batch-1 fit latency: {dt_b1*1e3:.3f} ms/frame")
     out["latency_ms_b1"] = round(dt_b1 * 1e3, 3)
     print(json.dumps(out), flush=True)
+
+    # ---- stepped per-level path (diagnostic + best-path check; runs
+    # AFTER every required-record section so a degraded/cold run spends
+    # its budget on the record, not the diagnostic) ---- #
+    if budget_allows(130, "stepped per-level diagnostic"):
+        detect = model.make_stepped_detector(batch, roi=512,
+                                             sampling="fast",
+                                             window_sampler=True,
+                                             max_ied=max_ied)
+        t0 = time.time()
+        out_st = detect(bench_images, bench_boxes)
+        out_st.block_until_ready()
+        log(f"stepped detect compile+first: {time.time()-t0:.1f}s")
+        err = float(np.mean(np.asarray(normalised_landmark_errors(
+            np.asarray(out_st), gt_rows[sel], right_idx, left_idx))))
+        log(f"IOD-normalised detect error (train-set faces): {err:.4f}")
+        dt_st, _ = measure(detect, bench_images, bench_boxes, reps=30)
+        log(f"stepped detect: {dt_st*1e3:.2f} ms / {batch} faces "
+            f"-> {batch/dt_st:.0f} faces/sec")
+        if dt_st < dt:
+            dt, best = dt_st, "stepped"
+            faces_per_sec = batch / dt
+            out["value"] = round(faces_per_sec, 1)
+            out["vs_baseline"] = round(faces_per_sec / 10000.0, 4)
+            print(json.dumps(out), flush=True)
+        log(f"best path: {best} "
+            f"-> {faces_per_sec:.0f} faces/sec on {len(devices)} device(s)")
+
+    # exact-f32-sampling accuracy cross-check (pure diagnostic; its cold
+    # compile is ~2 min, so it is budget-gated like the optional sections)
+    if budget_allows(40, "exact-sampling accuracy cross-check"):
+        detect_exact = model.make_stepped_detector(batch, roi=512,
+                                                   sampling="exact",
+                                                   window_sampler=True,
+                                                   max_ied=max_ied)
+        out_exact = detect_exact(bench_images, bench_boxes)
+        err_exact = float(np.mean(np.asarray(normalised_landmark_errors(
+            np.asarray(out_exact), gt_rows[sel], right_idx, left_idx))))
+        log(f"IOD-normalised detect error, exact-f32 sampling: "
+            f"{err_exact:.4f}")
 
     # ---- model families through the same fused serving path (VERDICT
     # r3 item 3): COFW-29 and ibug-68 at the flagship 5-cell config ---- #

@@ -107,7 +107,18 @@ def main():
             dt_b = (time.perf_counter() - t0) / (reps * nb)
             print(f"Haar detect_batch, B={nb}:    {dt_b*1e3:7.2f} ms/frame "
                   f"({1.0/dt_b:,.0f} frames/sec; {len(outs)} frames/call)")
-    else:
+        # pipelined single-frame stream (detect_begin/detect_end): frame
+        # N's ~25 ms readback RTT overlaps frame N+1's device compute,
+        # preserving per-frame ordering latency unlike detect_batch
+        n_stream = 30
+        stream_frames = [img_dev] * n_stream
+        list(det.detect_stream(stream_frames[:2]))    # warm
+        t0 = time.perf_counter()
+        outs = list(det.detect_stream(stream_frames))
+        dt_st = (time.perf_counter() - t0) / n_stream
+        print(f"Haar detect_stream (pipelined, {n_stream} frames): "
+              f"{dt_st*1e3:7.2f} ms/frame ({1.0/dt_st:,.0f} frames/sec; "
+              f"{len(outs[0])} boxes/frame)")
         print("no Haar cascade XML found; skipping face-detect latency")
 
     print(f"\ntracking loop (fit only): {1.0/dt:,.0f} frames/sec fused; "

@@ -54,13 +54,26 @@ cascadedetect.cpp in io/haar.py.
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Tuple
+from typing import Iterable, Iterator, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from superviseddescent_tpu.io.haar import HaarCascadeData, parse_opencv_cascade
+
+
+class PendingDetect(NamedTuple):
+    """In-flight detect: the dispatched pyramid's device-side candidate
+    buffer plus everything `_decode_pending` needs to fence + decode it.
+    Returned by ``detect_begin``; holds ``imgs_dev`` alive because the
+    dense overflow fallback re-runs the pyramid on it."""
+    packed: Optional[jax.Array]     # (B, k+2) device candidates, or None
+    imgs_dev: Optional[jax.Array]   # the frame stack (kept for fallback)
+    plan: tuple
+    args: tuple
+    statics: tuple
+    n_frames: int
 
 
 def _banks_exact_in_bf16(d: HaarCascadeData) -> bool:
@@ -559,15 +572,15 @@ class HaarCascadeDetector:
                 np.asarray(pw, np.int64), np.asarray(stride_a, np.int64),
                 np.asarray(factor_a, np.float64))
 
-    def _detect_stack(self, imgs_dev, h: int, w: int) -> List[np.ndarray]:
+    def _dispatch_stack(self, imgs_dev, h: int, w: int) -> "PendingDetect":
+        """Enqueue the whole pyramid program for a frame stack and return
+        a handle WITHOUT reading the result back (the async half of
+        detect; `_decode_pending` is the fence + decode half)."""
         d = self.data
         n_frames = 1 if imgs_dev.ndim == 2 else int(imgs_dev.shape[0])
         plan = self._pyramid_plan(n_frames, h, w)
         if not plan:
-            raws = [np.zeros((0, 4), np.float32)] * n_frames
-            if self.min_neighbors > 0:
-                return raws
-            return raws
+            return PendingDetect(None, None, (), (), (), n_frames)
         args = (self._bank0, self._bank1, self._thresh0, self._thresh1,
                 self._flip0, self._leaves, self._stage_thresholds,
                 self._norm_mask)
@@ -580,12 +593,26 @@ class HaarCascadeDetector:
                        and all(s[7] == 1 for s in plan))
         statics = (plan, d.window_height, d.window_width,
                    self._stage_bounds, self._precision, concat_eval)
-        # ONE program dispatch + ONE few-KB readback for the whole batch
-        packed = np.asarray(_run_pyramid_packed(
+        # ONE program dispatch; the ONE few-KB readback happens in
+        # _decode_pending so callers can overlap it with other work
+        packed_dev = _run_pyramid_packed(
             imgs_dev, *args, *statics, self.SURVIVOR_DIV,
-            self.MAX_CANDIDATES))
+            self.MAX_CANDIDATES)
+        return PendingDetect(packed_dev, imgs_dev, plan, args, statics,
+                             n_frames)
+
+    def _decode_pending(self, pend: "PendingDetect") -> List[np.ndarray]:
+        """Fence the one candidate readback of a `_dispatch_stack` handle
+        and decode boxes (incl. the dense overflow fallback + grouping)."""
+        n_frames = pend.n_frames
+        if pend.packed is None:
+            return [np.zeros((0, 4), np.float32)] * n_frames
+        plan, args, statics = pend.plan, pend.args, pend.statics
+        imgs_dev = pend.imgs_dev
+        packed = np.asarray(pend.packed)     # the readback fence
         offsets, p_band, p_w, p_stride, p_factor = \
             self._plan_decode_meta(plan)
+        d = self.data
         masks_full = None              # lazy full-mask overflow fallback
         raws = []
         for fi in range(n_frames):
@@ -616,6 +643,9 @@ class HaarCascadeDetector:
         if self.min_neighbors > 0:
             return [group_rectangles(r, self.min_neighbors) for r in raws]
         return raws
+
+    def _detect_stack(self, imgs_dev, h: int, w: int) -> List[np.ndarray]:
+        return self._decode_pending(self._dispatch_stack(imgs_dev, h, w))
 
     def detect(self, image) -> np.ndarray:
         """Detect objects in a grayscale image.
@@ -668,3 +698,54 @@ class HaarCascadeDetector:
             imgs_dev = jnp.asarray(arr)
         _, h, w = imgs_dev.shape
         return self._detect_stack(imgs_dev, int(h), int(w))
+
+    def detect_begin(self, image) -> PendingDetect:
+        """Asynchronous half of :meth:`detect`: enqueue the whole pyramid
+        program for one frame and return immediately (jax dispatch is
+        async — no device round trip happens here). Fetch the boxes later
+        with :meth:`detect_end`.
+
+        Why: on a remote/tunneled backend the single candidate readback
+        costs a payload-independent ~25 ms RTT — ~70% of the 36 ms
+        single-frame wall (docs/PERF_NOTES.md readback anatomy). Issuing
+        frame N+1's pyramid BEFORE fencing frame N overlaps that RTT with
+        the next frame's device compute, so a streaming loop pays
+        ~max(RTT, device time) per frame instead of their sum. The
+        reference prints exactly this per-frame FD latency as its own
+        metric (rcr-track.cpp:146-166). Accepts a (H, W) numpy frame or a
+        device-resident jax.Array like :meth:`detect`.
+        """
+        if isinstance(image, jax.Array):
+            if image.ndim != 2:
+                raise ValueError("expected a (H, W) grayscale image")
+            h, w = image.shape
+            imgs_dev = image
+        else:
+            img = np.asarray(image, np.float32)
+            if img.ndim != 2:
+                raise ValueError("expected a (H, W) grayscale image")
+            h, w = img.shape
+            imgs_dev = jnp.asarray(img[None])
+        return self._dispatch_stack(imgs_dev, int(h), int(w))
+
+    def detect_end(self, pending: PendingDetect) -> np.ndarray:
+        """Fence + decode a :meth:`detect_begin` handle. Returns the same
+        (K, 4) grouped [x, y, w, h] boxes ``detect`` would have."""
+        return self._decode_pending(pending)[0]
+
+    def detect_stream(self, frames: Iterable) -> Iterator[np.ndarray]:
+        """Pipelined single-frame detection over a frame iterable (video
+        sweep): yields each frame's grouped boxes in order, keeping one
+        detect in flight so frame N's readback RTT overlaps frame N+1's
+        device compute (see :meth:`detect_begin`). Frames may differ in
+        shape (each (H, W) class compiles once). For same-shape frames
+        wanting throughput over ordering latency, prefer
+        :meth:`detect_batch` (one readback for the whole stack)."""
+        prev = None
+        for frame in frames:
+            cur = self.detect_begin(frame)
+            if prev is not None:
+                yield self._decode_pending(prev)[0]
+            prev = cur
+        if prev is not None:
+            yield self._decode_pending(prev)[0]

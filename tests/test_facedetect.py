@@ -229,3 +229,30 @@ def test_boxes_match_goldens(detector):
         # differences move them by <0.1 px, a box-count/ordering change
         # would blow far past this
         np.testing.assert_allclose(boxes, want, atol=0.5, err_msg=name)
+
+
+def test_detect_stream_matches_single(detector):
+    """The pipelined async API (detect_begin/detect_end + detect_stream,
+    the VERDICT r3 item-6 'return device results and let callers fence'
+    path) returns exactly what synchronous detect() returns, in order,
+    including mixed-shape frames (per-(H, W)-class programs) and a blank
+    frame (empty result)."""
+    from superviseddescent_tpu.ops.patches import load_gray_image
+    img = np.asarray(load_gray_image(os.path.join(DATA, "image_0001.png")))
+    h, w = img.shape
+    shifted = np.zeros_like(img)
+    shifted[:h - 40, :w - 30] = img[40:, 30:]
+    frames = [img, shifted, np.zeros_like(img), img[: h - 64, : w - 32]]
+    streamed = list(detector.detect_stream(frames))
+    assert len(streamed) == len(frames)
+    for frame, got in zip(frames, streamed):
+        np.testing.assert_array_equal(got, detector.detect(frame))
+    assert len(streamed[0]) >= 1
+    assert len(streamed[2]) == 0
+    # explicit begin/end with two in flight, fenced out of issue order
+    p0 = detector.detect_begin(img)
+    p1 = detector.detect_begin(shifted)
+    np.testing.assert_array_equal(detector.detect_end(p1),
+                                  detector.detect(shifted))
+    np.testing.assert_array_equal(detector.detect_end(p0),
+                                  detector.detect(img))
