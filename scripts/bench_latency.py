@@ -119,6 +119,7 @@ def main():
         print(f"Haar detect_stream (pipelined, {n_stream} frames): "
               f"{dt_st*1e3:7.2f} ms/frame ({1.0/dt_st:,.0f} frames/sec; "
               f"{len(outs[0])} boxes/frame)")
+    else:
         print("no Haar cascade XML found; skipping face-detect latency")
 
     print(f"\ntracking loop (fit only): {1.0/dt:,.0f} frames/sec fused; "
