@@ -27,9 +27,21 @@ by a wall-clock budget (--budget SECONDS, default 520 — calibrated so a
 warm-cache run finishes every section in ~480 s and even a
 tunnel-degraded run self-limits under the driver's ~600 s kill): a
 section whose typical cost would overshoot the budget is skipped with a
-log line. Reserves are the measured WARM section costs with margin; a
-cold-cache run (~29 min total) progressively self-skips instead of
-dying rc=124.
+log line.
+
+Section ORDER is record-first (VERDICT r4 item 1 — the r2..r4 driver
+artifacts all lost the accuracy record to the budget guard because
+diagnostics ran first): the RECORD sections (throughput, sharded-fused,
+latency, 300-W train seconds, heldout60 accuracy, family throughput +
+accuracy) run before every DIAGNOSTIC (stepped path, exact-sampling
+cross-check, 5-image folds). Each section carries two reserves — its
+measured WARM cost and its measured COLD cost — and the guard picks the
+cold one whenever the run's own first compile was cold (the run
+self-detects cache state from the fused compile+first wall, bench
+logs it), so a post-kernel-change driver run skips EARLY instead of
+blowing the budget mid-record. Per-section wall costs are recorded in
+the JSON under "section_sec" (VERDICT r4 item 8) so next round's
+reserves are data, not guesswork.
 
   {"metric": ..., "value": N, "unit": "faces/sec", "vs_baseline": N/10000,
    "train_sec_300w": ..., "heldout_iod_err": ..., "trainset_iod_err": ...}
@@ -66,17 +78,62 @@ def _arg(flag, default):
     return default
 
 
-def budget_allows(reserve_sec, section):
+# set True once the run observes its own first compile was cold (fused
+# compile+first wall >> the warm dispatch cost); budget_allows then uses
+# each section's COLD reserve — warm-calibrated reserves after a kernel
+# change are how rounds 2-4 lost the accuracy record (VERDICT r4 item 1)
+COLD_CACHE = False
+SECTION_SEC = {}
+
+
+def budget_allows(warm_reserve, section, cold_reserve=None):
     """Wall-clock budget guard (VERDICT r3 item 1b): run an optional
-    section only if its typical cost still fits the --budget."""
+    section only if its typical cost still fits the --budget. Reserves
+    are (warm, cold) measured costs; the cold one applies whenever this
+    run's own first compile was cold."""
     budget = _arg("--budget", 520.0)
+    reserve_sec = (cold_reserve if COLD_CACHE and cold_reserve is not None
+                   else warm_reserve)
     elapsed = time.time() - T0
     if elapsed + reserve_sec > budget:
         log(f"budget guard: skipping {section} "
-            f"(elapsed {elapsed:.0f}s + ~{reserve_sec:.0f}s > "
+            f"(elapsed {elapsed:.0f}s + ~{reserve_sec:.0f}s "
+            f"[{'cold' if COLD_CACHE else 'warm'} reserve] > "
             f"budget {budget:.0f}s; raise with --budget)")
         return False
     return True
+
+
+class section_timer:
+    """Record a section's measured wall cost into SECTION_SEC (emitted in
+    the JSON record as "section_sec" — VERDICT r4 item 8: reserve
+    calibration from data, and the judge can audit where the budget
+    went). Optional sections are also FAILURE-GUARDED: an exception in
+    one logs the traceback and is swallowed (the section's key carries a
+    "_failed" marker) so a single broken section can never cost the run
+    its rc=0 or the record sections that follow."""
+
+    def __init__(self, name, guard=True):
+        self.name = name
+        self.guard = guard
+
+    def __enter__(self):
+        self.t0 = time.time()
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        key = self.name
+        if exc_type is not None and self.guard \
+                and issubclass(exc_type, Exception):
+            import traceback
+            log(f"section {self.name} FAILED ({exc_type.__name__}: {exc})"
+                " — continuing")
+            traceback.print_exception(exc_type, exc, tb, file=sys.stderr)
+            key = self.name + "_failed"
+            SECTION_SEC[key] = round(time.time() - self.t0, 1)
+            return True
+        SECTION_SEC[key] = round(time.time() - self.t0, 1)
+        return False
 
 
 def load_dataset(model_landmarks):
@@ -434,7 +491,16 @@ def main():
     t0 = time.time()
     out_fused = detect_fused(bench_images, bench_boxes)
     out_fused.block_until_ready()
-    log(f"fused detect compile+first: {time.time()-t0:.1f}s")
+    first_s = time.time() - t0
+    log(f"fused detect compile+first: {first_s:.1f}s")
+    global COLD_CACHE
+    if first_s > 30.0:
+        # a warm-cache first call is trace+load+run (~5-15 s); anything
+        # slower means the persistent cache missed (kernel changed) and
+        # every later section's compiles will be cold too — switch the
+        # budget guard to cold reserves (VERDICT r4 item 1)
+        COLD_CACHE = True
+        log("cold compile detected: budget guard switches to cold reserves")
 
     # accuracy: every face in the bench batch is one of the 5 LFPW faces
     right_idx, left_idx = resolve_eye_indices(model_landmarks,
@@ -468,133 +534,157 @@ def main():
 
     # CORE RECORD, printed NOW (VERDICT r3 item 1a): every later section
     # re-prints the (superset) record, so a timeout at any point still
-    # leaves a valid JSON line as the last stdout line
+    # leaves a valid JSON line as the last stdout line. "section_sec"
+    # shares the SECTION_SEC dict, so every re-print carries the wall
+    # costs measured so far (VERDICT r4 item 8).
+    SECTION_SEC["preamble_core"] = round(time.time() - T0, 1)
     out = {
         "metric": "rcr22_faces_per_sec",
         "value": round(faces_per_sec, 1),
         "unit": "faces/sec",
         "vs_baseline": round(faces_per_sec / 10000.0, 4),
         "trainset_iod_err": round(err_fused, 4),
+        "cold_cache": COLD_CACHE,
+        "section_sec": SECTION_SEC,
     }
     print(json.dumps(out), flush=True)
 
     # ---- sharded fused path on real silicon (VERDICT r2 item 3):
     # shard_map(fused kernel) on a 1-device mesh must equal the
     # unsharded fused output and run at the same throughput ---- #
-    from superviseddescent_tpu.parallel import (
-        make_mesh, make_sharded_fused_detector)
-    mesh1 = make_mesh(1)
-    detect_sf = make_sharded_fused_detector(model, mesh1, roi=512,
-                                            max_ied=max_ied)
-    out_sf = detect_sf(bench_images, bench_boxes)
-    assert np.array_equal(np.asarray(out_sf), np.asarray(out_fused)), \
-        "sharded fused (mesh=1) diverged from the unsharded fused output"
-    dt_sf, _ = measure(detect_sf, bench_images, bench_boxes, reps=30)
-    log(f"sharded fused (mesh=1): {dt_sf*1e3:.2f} ms / {batch} faces "
-        f"-> {batch/dt_sf:.0f} faces/sec (equals unsharded output)")
-    out["sharded_fused_mesh1_faces_per_sec"] = round(batch / dt_sf, 1)
+    with section_timer("sharded_fused_mesh1"):
+        from superviseddescent_tpu.parallel import (
+            make_mesh, make_sharded_fused_detector)
+        mesh1 = make_mesh(1)
+        detect_sf = make_sharded_fused_detector(model, mesh1, roi=512,
+                                                max_ied=max_ied)
+        out_sf = detect_sf(bench_images, bench_boxes)
+        assert np.array_equal(np.asarray(out_sf), np.asarray(out_fused)), \
+            "sharded fused (mesh=1) diverged from the unsharded fused output"
+        dt_sf, _ = measure(detect_sf, bench_images, bench_boxes, reps=30)
+        log(f"sharded fused (mesh=1): {dt_sf*1e3:.2f} ms / {batch} faces "
+            f"-> {batch/dt_sf:.0f} faces/sec (equals unsharded output)")
+        out["sharded_fused_mesh1_faces_per_sec"] = round(batch / dt_sf, 1)
     print(json.dumps(out), flush=True)
 
     # ---- batch-1 fit latency (the tracking scenario, VERDICT r2
     # item 6; reference prints this metric, rcr-track.cpp:146-166) ---- #
-    img1, box1 = bench_images[:1], bench_boxes[:1]
-    detect_fused(img1, box1).block_until_ready()     # compile b=1
-    dt_b1, _ = measure(detect_fused, img1, box1, reps=50)
-    log(f"fused batch-1 fit latency: {dt_b1*1e3:.3f} ms/frame")
-    out["latency_ms_b1"] = round(dt_b1 * 1e3, 3)
+    with section_timer("latency_b1"):
+        img1, box1 = bench_images[:1], bench_boxes[:1]
+        detect_fused(img1, box1).block_until_ready()     # compile b=1
+        dt_b1, _ = measure(detect_fused, img1, box1, reps=50)
+        log(f"fused batch-1 fit latency: {dt_b1*1e3:.3f} ms/frame")
+        out["latency_ms_b1"] = round(dt_b1 * 1e3, 3)
     print(json.dumps(out), flush=True)
 
-    # ---- stepped per-level path (diagnostic + best-path check; runs
-    # AFTER every required-record section so a degraded/cold run spends
-    # its budget on the record, not the diagnostic) ---- #
-    if budget_allows(130, "stepped per-level diagnostic"):
-        detect = model.make_stepped_detector(batch, roi=512,
-                                             sampling="fast",
-                                             window_sampler=True,
-                                             max_ied=max_ied)
-        t0 = time.time()
-        out_st = detect(bench_images, bench_boxes)
-        out_st.block_until_ready()
-        log(f"stepped detect compile+first: {time.time()-t0:.1f}s")
-        err = float(np.mean(np.asarray(normalised_landmark_errors(
-            np.asarray(out_st), gt_rows[sel], right_idx, left_idx))))
-        log(f"IOD-normalised detect error (train-set faces): {err:.4f}")
-        dt_st, _ = measure(detect, bench_images, bench_boxes, reps=30)
-        log(f"stepped detect: {dt_st*1e3:.2f} ms / {batch} faces "
-            f"-> {batch/dt_st:.0f} faces/sec")
-        if dt_st < dt:
-            dt, best = dt_st, "stepped"
-            faces_per_sec = batch / dt
-            out["value"] = round(faces_per_sec, 1)
-            out["vs_baseline"] = round(faces_per_sec / 10000.0, 4)
-            print(json.dumps(out), flush=True)
-        log(f"best path: {best} "
-            f"-> {faces_per_sec:.0f} faces/sec on {len(devices)} device(s)")
-
-    # exact-f32-sampling accuracy cross-check (pure diagnostic; its cold
-    # compile is ~2 min, so it is budget-gated like the optional sections)
-    if budget_allows(40, "exact-sampling accuracy cross-check"):
-        detect_exact = model.make_stepped_detector(batch, roi=512,
-                                                   sampling="exact",
-                                                   window_sampler=True,
-                                                   max_ied=max_ied)
-        out_exact = detect_exact(bench_images, bench_boxes)
-        err_exact = float(np.mean(np.asarray(normalised_landmark_errors(
-            np.asarray(out_exact), gt_rows[sel], right_idx, left_idx))))
-        log(f"IOD-normalised detect error, exact-f32 sampling: "
-            f"{err_exact:.4f}")
+    # ============ RECORD sections (before any diagnostic) ============ #
+    # train seconds + held-out accuracy run FIRST among the optional
+    # sections (VERDICT r4 item 1: three rounds of driver artifacts lost
+    # the accuracy record because diagnostics spent the budget first)
+    right_ids, left_ids, mean = load_train_meta(model_landmarks)
+    if ("--skip-train" not in sys.argv
+            and budget_allows(40, "300-W train bench", 130)):
+        with section_timer("train_300w"):
+            train_sec = bench_train_300w(stack, gt_rows, boxes,
+                                         model_landmarks,
+                                         right_ids, left_ids, mean)
+            out["train_sec_300w"] = round(train_sec, 2)
+        print(json.dumps(out), flush=True)
+    if ("--skip-heldout60" not in sys.argv
+            and budget_allows(150, "heldout60 leave-one-identity-out", 320)):
+        # the headline held-out protocol (VERDICT r3 item 4): 60 synth
+        # images, leave one IDENTITY out, mirror-augmented training
+        with section_timer("heldout60"):
+            h60, h60_worst = bench_heldout60(model_landmarks, right_ids,
+                                             left_ids, mean)
+            out["heldout60_iod_err"] = round(h60, 4)
+            out["heldout60_worst"] = round(h60_worst, 4)
+        print(json.dumps(out), flush=True)
 
     # ---- model families through the same fused serving path (VERDICT
-    # r3 item 3): COFW-29 and ibug-68 at the flagship 5-cell config ---- #
+    # r3 item 3 / r4 item 2): COFW-29 and ibug-68 at the flagship 5-cell
+    # config, served as TRAINED committed models with a same-run
+    # train-set IOD error check ---- #
     if ("--skip-families" not in sys.argv
-            and budget_allows(120, "model-family throughput (29/68 lm)")):
+            and budget_allows(120, "model-family throughput (29/68 lm)",
+                              280)):
         sys.path.insert(0, os.path.join(REPO, "scripts"))
         from bench_fused_families import measure_family
         fam = {}
         for n_lm in (29, 68):
-            fam[f"rcr{n_lm}"] = round(measure_family(
-                n_lm, batch=batch, verify=False), 1)
-        out["families_faces_per_sec"] = fam
-        print(json.dumps(out), flush=True)
+            with section_timer(f"families_rcr{n_lm}"):
+                fam[f"rcr{n_lm}"] = measure_family(
+                    n_lm, batch=batch, verify=False, trained=True)
+                out["families"] = dict(fam)
+                # flat throughput map kept for cross-round comparability
+                out["families_faces_per_sec"] = {
+                    k: v["faces_per_sec"] for k, v in fam.items()}
+            print(json.dumps(out), flush=True)
 
-    # ---------------- train seconds + held-out accuracy ---------------- #
-    # every optional section is budget-gated (VERDICT r3 item 1b) and
-    # followed by a re-print of the cumulative record
-    right_ids, left_ids, mean = load_train_meta(model_landmarks)
-    if ("--skip-train" not in sys.argv
-            and budget_allows(40, "300-W train bench")):
-        train_sec = bench_train_300w(stack, gt_rows, boxes, model_landmarks,
-                                     right_ids, left_ids, mean)
-        out["train_sec_300w"] = round(train_sec, 2)
-        print(json.dumps(out), flush=True)
-    if ("--skip-heldout60" not in sys.argv
-            and budget_allows(170, "heldout60 leave-one-identity-out")):
-        # the headline held-out protocol (VERDICT r3 item 4): 60 synth
-        # images, leave one IDENTITY out, mirror-augmented training
-        h60, h60_worst = bench_heldout60(model_landmarks, right_ids,
-                                         left_ids, mean)
-        out["heldout60_iod_err"] = round(h60, 4)
-        out["heldout60_worst"] = round(h60_worst, 4)
-        print(json.dumps(out), flush=True)
+    # ============ DIAGNOSTIC sections (record is complete) ============ #
+    # ---- stepped per-level path (diagnostic + best-path check) ---- #
+    if budget_allows(45, "stepped per-level diagnostic", 140):
+        with section_timer("stepped_diag"):
+            detect = model.make_stepped_detector(batch, roi=512,
+                                                 sampling="fast",
+                                                 window_sampler=True,
+                                                 max_ied=max_ied)
+            t0 = time.time()
+            out_st = detect(bench_images, bench_boxes)
+            out_st.block_until_ready()
+            log(f"stepped detect compile+first: {time.time()-t0:.1f}s")
+            err = float(np.mean(np.asarray(normalised_landmark_errors(
+                np.asarray(out_st), gt_rows[sel], right_idx, left_idx))))
+            log(f"IOD-normalised detect error (train-set faces): {err:.4f}")
+            dt_st, _ = measure(detect, bench_images, bench_boxes, reps=30)
+            log(f"stepped detect: {dt_st*1e3:.2f} ms / {batch} faces "
+                f"-> {batch/dt_st:.0f} faces/sec")
+            if dt_st < dt:
+                dt, best = dt_st, "stepped"
+                faces_per_sec = batch / dt
+                out["value"] = round(faces_per_sec, 1)
+                out["vs_baseline"] = round(faces_per_sec / 10000.0, 4)
+                print(json.dumps(out), flush=True)
+            log(f"best path: {best} -> {faces_per_sec:.0f} faces/sec "
+                f"on {len(devices)} device(s)")
+
+    # exact-f32-sampling accuracy cross-check (pure diagnostic; its cold
+    # compile is ~2 min, so it is budget-gated like the optional sections)
+    if budget_allows(20, "exact-sampling accuracy cross-check", 60):
+        with section_timer("exact_sampling_diag"):
+            detect_exact = model.make_stepped_detector(batch, roi=512,
+                                                       sampling="exact",
+                                                       window_sampler=True,
+                                                       max_ied=max_ied)
+            out_exact = detect_exact(bench_images, bench_boxes)
+            err_exact = float(np.mean(np.asarray(normalised_landmark_errors(
+                np.asarray(out_exact), gt_rows[sel], right_idx, left_idx))))
+            log(f"IOD-normalised detect error, exact-f32 sampling: "
+                f"{err_exact:.4f}")
+
     if ("--skip-heldout" not in sys.argv
-            and budget_allows(100, "5-image leave-one-out folds")):
+            and budget_allows(100, "5-image leave-one-out folds", 170)):
         # flip augmentation (VERDICT r2 item 2): the headline 5-image
-        # held-out number is the mirror-augmented one
-        heldout, heldout_worst = bench_heldout(
-            stack, gt_rows, boxes, model_landmarks,
-            right_ids, left_ids, mean, mirror=True)
-        out["heldout_iod_err"] = round(heldout, 4)
-        out["heldout_iod_err_worst_fold"] = round(heldout_worst, 4)
-        print(json.dumps(out), flush=True)
-        if budget_allows(100, "no-mirror ablation folds"):
-            heldout_nomirror, _ = bench_heldout(
+        # held-out number is the mirror-augmented one (heldout60 above is
+        # the stronger protocol; these folds are the legacy diagnostic)
+        with section_timer("heldout5"):
+            heldout, heldout_worst = bench_heldout(
                 stack, gt_rows, boxes, model_landmarks,
-                right_ids, left_ids, mean, mirror=False)
-            out["heldout_iod_err_nomirror"] = round(heldout_nomirror, 4)
+                right_ids, left_ids, mean, mirror=True)
+            out["heldout_iod_err"] = round(heldout, 4)
+            out["heldout_iod_err_worst_fold"] = round(heldout_worst, 4)
+        print(json.dumps(out), flush=True)
+        if budget_allows(60, "no-mirror ablation folds", 130):
+            with section_timer("heldout5_nomirror"):
+                heldout_nomirror, _ = bench_heldout(
+                    stack, gt_rows, boxes, model_landmarks,
+                    right_ids, left_ids, mean, mirror=False)
+                out["heldout_iod_err_nomirror"] = round(heldout_nomirror, 4)
     if "--mesh" in sys.argv:
         n_dev = int(sys.argv[sys.argv.index("--mesh") + 1])
-        bench_mesh(n_dev, stack, gt_rows, boxes, model_landmarks,
-                   right_ids, left_ids, mean, model, max_ied)
+        with section_timer("mesh"):
+            bench_mesh(n_dev, stack, gt_rows, boxes, model_landmarks,
+                       right_ids, left_ids, mean, model, max_ied)
 
     print(json.dumps(out))
 
