@@ -188,6 +188,49 @@ def test_sharded_fused_multisegment_matches():
     np.testing.assert_allclose(sharded, single, atol=1e-4)
 
 
+def test_sharded_fused_frames_path_matches():
+    """The SHIPPING serving input class under the mesh (VERDICT r4
+    item 6): a uint8 stack with (32, 128)-aligned shape routes each
+    shard's detect through the in-kernel window-DMA crop
+    (ops/cascade_pallas.py::detect_cascade_fused_frames) rather than the
+    legacy f32 crop prologue the other sharded tests cover. Pure data
+    parallelism over faces: the sharded output must EQUAL the
+    single-device frames output."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from __graft_entry__ import _tiny_model
+    from superviseddescent_tpu.parallel.dist import sharded_detect_fused
+
+    model = _tiny_model(num_landmarks=6, levels=2, seed=2)
+    rng = np.random.default_rng(7)
+    batch = 8
+    imgs = rng.integers(0, 256, size=(batch, 128, 128)).astype(np.uint8)
+    boxes = np.tile(np.float32([40, 40, 48, 48]), (batch, 1))
+
+    # guard the premise: this input class must select the frames path
+    # (if the router's eligibility rule changes, fail loudly rather than
+    # silently re-testing the legacy prologue)
+    from superviseddescent_tpu.ops.cascade_pallas import (
+        FRAME_COL_ALIGN, FRAME_ROW_ALIGN)
+    assert (imgs.dtype == np.uint8
+            and imgs.shape[2] % FRAME_COL_ALIGN == 0
+            and imgs.shape[1] % FRAME_ROW_ALIGN == 0)
+
+    single = np.asarray(model.make_fused_detector(roi=128)(imgs, boxes))
+    assert np.isfinite(single).all()
+    # the legacy f32 prologue on the same pixels is a different code path
+    # but identical math up to window-origin alignment — stay within .5px
+    legacy = np.asarray(model.make_fused_detector(roi=128)(
+        imgs.astype(np.float32), boxes))
+    np.testing.assert_allclose(single, legacy, atol=0.5)
+    mesh = make_mesh()
+    sharded = np.asarray(sharded_detect_fused(
+        model, imgs, boxes, mesh, roi=128))
+    np.testing.assert_array_equal(sharded, single)
+
+
 def test_train_rcr_mesh_window_backend_matches():
     """Mesh training with the memory-scalable WINDOW extraction backend
     (roi crop + Pallas window sampler — the 300-W training config,
