@@ -115,31 +115,100 @@ def main(argv=None):
                 return None
         return detector, tracker
 
-    prev_row = None
+    def annotate(path, lms):
+        from PIL import Image, ImageDraw
+        os.makedirs(args.output_dir, exist_ok=True)
+        img = Image.open(path).convert("RGB")
+        draw = ImageDraw.Draw(img)
+        for x, y in lms.coordinates:
+            draw.ellipse([x - 2, y - 2, x + 2, y + 2],
+                         outline=(0, 255, 0))
+        img.save(os.path.join(args.output_dir, os.path.basename(path)))
+
+    # Fused tracking runs PIPELINED (VERDICT r4 item 4, mirroring
+    # HaarCascadeDetector.detect_stream): the loop's only inter-frame
+    # dependency — frame N+1 initialises from frame N's landmark row
+    # (model.hpp:147-157) — stays device-resident, so frame N+1's fit is
+    # dispatched BEFORE frame N's host readback. On a remote/tunneled
+    # backend the per-frame cost drops from (upload + fit + ~25-30 ms
+    # readback RTT) to ~max(upload + fit, RTT); see
+    # docs/PERF_NOTES.md "Pipelined tracking". One fit stays in flight:
+    # `pending` holds (index, path, image, device row) awaiting decode.
+    prev_row = None   # last DECODED host row (lags the dispatch by one)
+    prev_dev = None   # device row driving the next fused fit
+    pending = None    # in-flight fused fit: [i, path, image, row_dev]
+    t_iter = time.time()
+
+    def decode_pending():
+        """Fence + host-process the in-flight fused fit: report, loss
+        check (with facebox re-detect), optional annotation. Returns the
+        decoded host row, or None when tracking was lost."""
+        nonlocal prev_dev, box, t_iter
+        i, path, image, row_dev = pending
+        row = np.asarray(row_dev)[0]
+        wall_ms = (time.time() - t_iter) * 1000.0
+        t_iter = time.time()
+        lms = to_landmark_collection(row, model.landmark_ids)
+        print(f"frame {i} ({os.path.basename(path)}): fit {wall_ms:.1f} ms"
+              f" (pipelined), "
+              f"bbox {tuple(round(v, 1) for v in enclosing_bbox(row))}")
+        if args.output_dir:
+            annotate(path, lms)
+        if not estimate_ok(row, image.shape):
+            print(f"frame {i}: tracking lost, re-initialising")
+            if face_det is not None:
+                redetected = face_det.detect(image)
+                if len(redetected):
+                    box = tuple(float(v) for v in redetected[0])
+            # any fit already dispatched from this bad row is invalid —
+            # the caller re-dispatches it from the facebox
+            prev_dev = None
+            return None
+        return row
+
     for i, path in enumerate(frames):
         image = np.asarray(load_gray_image(path), np.float32)
-        if prev_row is None:
+        if prev_row is None and prev_dev is None:
             face_size = max(box[2], box[3])
         else:
-            _, _, bw, bh = enclosing_bbox(prev_row)
+            # the lagged host row is a one-frame-stale (fine) size proxy;
+            # before the first decode, fall back to the facebox size
+            ref = prev_row if prev_row is not None else np.float32(
+                [box[0], box[0] + box[2], box[1], box[1] + box[3]])
+            _, _, bw, bh = enclosing_bbox(ref)
             face_size = max(bw, bh)
         fused = fused_pair(image.shape, face_size)
         t0 = time.time()
         try:
+            if fused:
+                detector_f, tracker_f = fused
+                if prev_dev is None:
+                    row_dev = detector_f(image[None], np.float32(box)[None])
+                else:
+                    row_dev = tracker_f(image[None], prev_dev)
+                prev_dev = row_dev
+                if pending is not None:
+                    decoded = decode_pending()
+                    prev_row = decoded if decoded is not None else None
+                    if prev_dev is None:
+                        # the fit just dispatched rode a lost track —
+                        # redo THIS frame from the (re-detected) facebox
+                        row_dev = detector_f(image[None],
+                                             np.float32(box)[None])
+                        prev_dev = row_dev
+                pending = [i, path, image, row_dev]
+                continue
+            # exact (non-fused) path: synchronous per frame; drain the
+            # pipeline first so prev_row is current
+            if pending is not None:
+                decoded = decode_pending()
+                prev_row = decoded
+                pending = None
+            prev_dev = None
             if prev_row is None:
-                if fused:
-                    row = np.asarray(fused[0](
-                        image[None], np.float32(box)[None]))[0]
-                    lms = to_landmark_collection(row, model.landmark_ids)
-                else:
-                    lms = model.detect(image, box)
+                lms = model.detect(image, box)
             else:
-                if fused:
-                    row = np.asarray(fused[1](
-                        image[None], prev_row[None]))[0]
-                    lms = to_landmark_collection(row, model.landmark_ids)
-                else:
-                    lms = model.detect_from_landmarks(image, prev_row)
+                lms = model.detect_from_landmarks(image, prev_row)
         except Exception as e:  # noqa: BLE001 — degrade, don't crash
             if not fused:
                 raise
@@ -149,11 +218,13 @@ def main(argv=None):
                   "falling back to the exact fit")
             tracker = detector = None
             fused_usable = False
+            prev_dev, pending = None, None
             if prev_row is None:
                 lms = model.detect(image, box)
             else:
                 lms = model.detect_from_landmarks(image, prev_row)
         fit_ms = (time.time() - t0) * 1000.0
+        t_iter = time.time()
         prev_row = to_row(lms)
         print(f"frame {i} ({os.path.basename(path)}): fit {fit_ms:.1f} ms, "
               f"bbox {tuple(round(v, 1) for v in enclosing_bbox(prev_row))}")
@@ -165,14 +236,9 @@ def main(argv=None):
                     box = tuple(float(v) for v in redetected[0])
             prev_row = None  # next frame restarts from the facebox
         if args.output_dir:
-            from PIL import Image, ImageDraw
-            os.makedirs(args.output_dir, exist_ok=True)
-            img = Image.open(path).convert("RGB")
-            draw = ImageDraw.Draw(img)
-            for x, y in lms.coordinates:
-                draw.ellipse([x - 2, y - 2, x + 2, y + 2],
-                             outline=(0, 255, 0))
-            img.save(os.path.join(args.output_dir, os.path.basename(path)))
+            annotate(path, lms)
+    if pending is not None:
+        decode_pending()
     return 0
 
 

@@ -861,6 +861,55 @@ class DetectionModel:
         return self.make_fused_detector(roi, max_ied=max_ied,
                                         init="landmarks")
 
+    def make_fused_track_stream(self, roi: int,
+                                max_ied: Optional[float] = None):
+        """Pipelined per-frame tracking over a frame iterable: returns
+        ``stream(frames, facebox) -> iterator of (2L,) numpy rows``, one
+        per frame in order.
+
+        The reference's tracking loop prints per-frame fit latency as its
+        own metric (rcr-track.cpp:146-166). The naive loop pays a
+        synchronous host readback (~25-30 ms RTT on a remote/tunneled
+        backend) per frame for a ~0.1 ms device fit — but the loop's
+        only true inter-frame dependency (frame N+1 initialises from
+        frame N's landmark row, model.hpp:147-157) lives ON DEVICE, so
+        frame N+1's fit is dispatched from the device-resident row
+        BEFORE frame N's row is read back: the readback RTT overlaps the
+        next frame's upload + fit, and a streaming loop pays
+        ~max(RTT, upload + fit) per frame instead of their sum — the
+        same one-in-flight scheme as HaarCascadeDetector.detect_stream
+        (models/facedetect.py).
+
+        The first frame initialises from ``facebox`` (align_mean, the
+        detect overload, model.hpp:132-144); every later frame from its
+        predecessor's device row. Frames may be (H, W) numpy arrays or
+        device-resident jax.Arrays (pass device arrays to skip the
+        synchronous per-frame upload). For loss detection + facebox
+        re-init, drive the two fits directly with the same lag-one
+        pattern (apps/rcr_track.py does)."""
+        detector = self.make_fused_detector(roi, max_ied=max_ied)
+        tracker = self.make_fused_tracker(roi, max_ied=max_ied)
+
+        def stream(frames, facebox):
+            box = np.asarray(facebox, np.float32)[None]
+            prev = None      # previous frame's device row (1, 2L)
+            pending = None   # oldest un-yielded device row
+            for frame in frames:
+                img = (frame if isinstance(frame, jax.Array)
+                       else jnp.asarray(np.asarray(frame)))
+                if img.ndim == 2:
+                    img = img[None]
+                cur = detector(img, box) if prev is None \
+                    else tracker(img, prev)
+                prev = cur
+                if pending is not None:
+                    yield np.asarray(pending)[0]
+                pending = cur
+            if pending is not None:
+                yield np.asarray(pending)[0]
+
+        return stream
+
     def make_scan_detector(self, batch: int, quantize: bool = True):
         """Whole-cascade detector whose levels run as ONE ``lax.scan``
         body over the stacked weights (core/cascade.py::weight_stack) —

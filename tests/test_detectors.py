@@ -543,6 +543,33 @@ def test_fused_tracker_matches_monolithic(trained):
     np.testing.assert_allclose(tracked, mono, atol=0.75)
 
 
+def test_fused_track_stream_matches_sequential(trained):
+    # the pipelined tracking stream (VERDICT r4 item 4): one fit stays in
+    # flight so frame N's readback overlaps frame N+1's fit, but the
+    # yielded rows must EQUAL the naive sequential loop's (frame 0 from
+    # the facebox, every later frame initialised from its predecessor's
+    # row) — the pipeline only reorders host readbacks, not device math
+    model, stack, boxes = trained
+    stack128, _ = stack_images(
+        [np.asarray(stack[i]) for i in range(stack.shape[0])],
+        pad_width_to=128)
+    frames = [stack128[i].astype(np.uint8) for i in range(4)]
+    box0 = boxes[0]
+
+    detector = model.make_fused_detector(roi=512, max_ied=145.0)
+    tracker = model.make_fused_tracker(roi=512, max_ied=145.0)
+    seq, prev = [], None
+    for f in frames:
+        prev = (detector(f[None], box0[None]) if prev is None
+                else tracker(f[None], prev))
+        seq.append(np.asarray(prev)[0])
+
+    stream = model.make_fused_track_stream(roi=512, max_ied=145.0)
+    out = list(stream(frames, box0))
+    assert len(out) == len(frames)
+    np.testing.assert_array_equal(np.stack(out), np.stack(seq))
+
+
 def test_fused_frames_border_clamped_windows(trained):
     # VERDICT r3 item 8 + ADVICE r3: the frames path aligns window
     # origins DOWN to the (32, 128) DMA grain and clamps against the
