@@ -310,14 +310,17 @@ def bench_heldout(stack, gt_rows, boxes, model_landmarks,
 
 
 def bench_heldout60(model_landmarks, right_ids, left_ids, mean, n=60,
-                    sigma_rotation=0.0):
+                    sigma_rotation=0.0, **cfg_overrides):
     """Leave-one-IDENTITY-out held-out IOD error on the cached synthetic
     set (VERDICT r3 item 4: the 5-image protocol is data-starved; this
     one trains each fold on every warp of 4 identities, mirror-augmented,
     and tests on every warp of the held-out identity — 12x the test
-    points). The synthetic set is generated ONCE into .synth60/ and
-    reused; all folds share one compiled train program and one compiled
-    eval program (weights are arguments)."""
+    points). The synthetic set is generated ONCE into .synth60/ (or
+    .synth{n}/ for other sizes) and reused; all folds share one compiled
+    train program and one compiled eval program (weights are arguments).
+    cfg_overrides: extra RcrTrainConfig fields (num_perturbations,
+    sigma_translation, ... — the scripts/sweep_train_levers.py lever
+    sweep rides this)."""
     import subprocess
 
     from superviseddescent_tpu.io import read_pts_landmarks
@@ -327,17 +330,18 @@ def bench_heldout60(model_landmarks, right_ids, left_ids, mean, n=60,
     from superviseddescent_tpu.utils.landmarks import (
         to_landmark_collection, to_row)
 
-    if len(glob.glob(os.path.join(SYNTH_DIR, "*.png"))) < n:
-        log(f"generating {n}-image synthetic set in {SYNTH_DIR} (once)")
+    synth_dir = SYNTH_DIR if n == 60 else os.path.join(REPO, f".synth{n}")
+    if len(glob.glob(os.path.join(synth_dir, "*.png"))) < n:
+        log(f"generating {n}-image synthetic set in {synth_dir} (once)")
         subprocess.run(
             [sys.executable, os.path.join(REPO,
                                           "scripts/make_synth_dataset.py"),
-             SYNTH_DIR, str(n)], check=True,
+             synth_dir, str(n)], check=True,
             env=dict(os.environ, PALLAS_AXON_POOL_IPS="",
                      JAX_PLATFORMS="cpu"))
     n_ident = len(glob.glob(f"{DATA}/*.png"))   # generator round-robins
     images, rows = [], []
-    pngs = sorted(glob.glob(os.path.join(SYNTH_DIR, "*.png")))[:n]
+    pngs = sorted(glob.glob(os.path.join(synth_dir, "*.png")))[:n]
     for png in pngs:
         lms = read_pts_landmarks(png.replace(".png", ".pts"))
         images.append(load_gray_image(png))
@@ -353,7 +357,8 @@ def bench_heldout60(model_landmarks, right_ids, left_ids, mean, n=60,
                          solver_method="cholesky",
                          feature_chunk_size=2048,
                          mirror_augmentation=True,
-                         sigma_rotation=sigma_rotation)
+                         sigma_rotation=sigma_rotation,
+                         **cfg_overrides)
     return _loo_eval(stack, rows, boxes, folds, ident, model_landmarks,
                      right_ids, left_ids, mean, cfg,
                      f"leave-one-identity-out held-out IOD error "
