@@ -645,7 +645,8 @@ class DetectionModel:
                             max_ied: Optional[float] = None,
                             init: str = "facebox",
                             faces_per_step: Optional[int] = None,
-                            g_unroll: Optional[int] = None):
+                            g_unroll: Optional[int] = None,
+                            quantize: bool = True):
         """Whole-cascade FUSED Pallas detector (ops/cascade_pallas.py):
         one kernel samples, HOG-describes and regresses all levels with
         the face window resident in VMEM — no per-level window
@@ -672,6 +673,11 @@ class DetectionModel:
         sampling='fast', window_sampler=True, hog_fast=True).
         Requires a square 128-aligned roi (the window crop) sized like
         the stepped window path; max_ied as there.
+
+        quantize=False skips the in-kernel patch round-to-uint8
+        (reference parity detail, adaptive_vlhog.hpp:154-155): landmark
+        deltas vs the quantised path are sub-pixel, same class as the
+        fast-mode noise (measured in docs/PERF_NOTES.md).
 
         faces_per_step (the kernel's G, faces per grid step) and
         g_unroll (faces per face-loop iteration) default per model size
@@ -809,7 +815,8 @@ class DetectionModel:
                 images, idx, oy, ox, x0_img - shift, weights_perm,
                 window_shape, levels, cell_sizes, p0.num_bins, dims,
                 tuple(r_idx), tuple(l_idx),
-                faces_per_step=faces_per_step, g_unroll=g_unroll)
+                faces_per_step=faces_per_step, g_unroll=g_unroll,
+                quantize=quantize)
             return out + shift
 
         @jax.jit
@@ -824,7 +831,8 @@ class DetectionModel:
             out = detect_cascade_fused(
                 windows, x0_img - shift, weights_perm, levels, cell_sizes,
                 p0.num_bins, dims, tuple(r_idx), tuple(l_idx),
-                faces_per_step=faces_per_step, g_unroll=g_unroll)
+                faces_per_step=faces_per_step, g_unroll=g_unroll,
+                quantize=quantize)
             return out + shift
 
         @jax.jit
@@ -846,7 +854,8 @@ class DetectionModel:
             out = detect_cascade_fused(
                 windows, rows - shift, weights_perm, levels, cell_sizes,
                 p0.num_bins, dims, tuple(r_idx), tuple(l_idx),
-                faces_per_step=faces_per_step, g_unroll=g_unroll)
+                faces_per_step=faces_per_step, g_unroll=g_unroll,
+                quantize=quantize)
             return out + shift
 
         return (run_fused_from_landmarks if init == "landmarks"

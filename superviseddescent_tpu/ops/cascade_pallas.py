@@ -262,7 +262,8 @@ def permute_weights(weights: np.ndarray, num_landmarks: int,
 def _sample_level_batch(win_ref, x_ref, iedscr, wx_ref, wy_ref,
                         gscr, pscr, pwide, bscr, *, li, s, w, wx, ry_n,
                         rx_n, num_landmarks, o_count, g_faces, rel_patch,
-                        cell_size, r_idx, l_idx, g_unroll=1, probe=None):
+                        cell_size, r_idx, l_idx, g_unroll=1,
+                        quantize=True, probe=None):
     """Sample + splat-describe ONE level for ALL G faces of the grid
     step, with fori_loops over faces and landmarks so the compiled body
     count is INDEPENDENT of G and L (VERDICT r3 item 2: the unrolled
@@ -366,7 +367,10 @@ def _sample_level_batch(win_ref, x_ref, iedscr, wx_ref, wy_ref,
             patch = jax.lax.dot_general(
                 q.astype(jnp.bfloat16), ty, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            patch = jnp.clip(jnp.floor(patch + 0.5), 0.0, 255.0)
+            if quantize:
+                # reference parity: cv::resize writes uint8 patches
+                # (adaptive_vlhog.hpp:154-155) — round + clamp here
+                patch = jnp.clip(jnp.floor(patch + 0.5), 0.0, 255.0)
             return patch.astype(jnp.bfloat16)
 
         # ---- sample the L patches ---- #
@@ -552,7 +556,7 @@ def _cascade_body(x0_ref, win_ref, w_refs,
                   gscr, pscr, pwide, fscr, bscr, cscr, xcur, iedscr, *,
                   levels, g_faces, ry_n, rx_n, num_landmarks, o_count,
                   dims, cell_sizes, r_idx, l_idx, g_unroll=1,
-                  probe=None):
+                  quantize=True, probe=None):
     """The shared cascade loop: win_ref is any (G, RY, RX) bf16 ref —
     a pipelined input block (_cascade_kernel) or the in-kernel-cropped
     window scratch (_cascade_frames_kernel). The landmark rows live in
@@ -578,7 +582,8 @@ def _cascade_body(x0_ref, win_ref, w_refs,
             bscr, li=li, s=s, w=w, wx=wx, ry_n=ry_n, rx_n=rx_n,
             num_landmarks=num_landmarks, o_count=o_count,
             g_faces=g_faces, rel_patch=rel, cell_size=cell_sizes[li],
-            r_idx=r_idx, l_idx=l_idx, g_unroll=g_unroll, probe=probe)
+            r_idx=r_idx, l_idx=l_idx, g_unroll=g_unroll,
+            quantize=quantize, probe=probe)
         if probe == "sample":
             continue
         _hog_tail(bscr, cscr, fscr, rx_ref, ry_ref, g_faces=g_faces,
@@ -603,14 +608,14 @@ def _cascade_kernel(x0_ref, win_ref, w0, w1, w2, w3,
                     gscr, pscr, pwide, fscr, bscr, cscr, xcur, iedscr, *,
                     levels, g_faces, ry_n, rx_n, num_landmarks, o_count,
                     dims, cell_sizes, r_idx, l_idx, g_unroll=1,
-                    probe=None):
+                    quantize=True, probe=None):
     _cascade_body(x0_ref, win_ref, [w0, w1, w2, w3][:len(levels)],
                   wx_ref, wy_ref, rx_ref, ry_ref, o_ref,
                   gscr, pscr, pwide, fscr, bscr, cscr, xcur, iedscr,
                   levels=levels, g_faces=g_faces, ry_n=ry_n, rx_n=rx_n,
                   num_landmarks=num_landmarks, o_count=o_count, dims=dims,
                   cell_sizes=cell_sizes, r_idx=r_idx, l_idx=l_idx,
-                  g_unroll=g_unroll, probe=probe)
+                  g_unroll=g_unroll, quantize=quantize, probe=probe)
 
 
 def _crop_windows_dma(idx_ref, oy_ref, ox_ref, frames_ref, u8scr, winscr,
@@ -652,7 +657,7 @@ def _cascade_frames_kernel(idx_ref, oy_ref, ox_ref, x0_ref, frames_ref,
                            cscr, xcur, iedscr, dsems, *,
                            levels, g_faces, ry_n, rx_n, num_landmarks,
                            o_count, dims, cell_sizes, r_idx, l_idx,
-                           g_unroll=1, probe=None):
+                           g_unroll=1, quantize=True, probe=None):
     """Cascade kernel with the window crop fused IN: per grid step, the
     G faces' uint8 windows are DMA'd straight out of the HBM-resident
     frame stack at per-face (frame, row, col) origins — the XLA crop
@@ -667,7 +672,7 @@ def _cascade_frames_kernel(idx_ref, oy_ref, ox_ref, x0_ref, frames_ref,
                   levels=levels, g_faces=g_faces, ry_n=ry_n, rx_n=rx_n,
                   num_landmarks=num_landmarks, o_count=o_count, dims=dims,
                   cell_sizes=cell_sizes, r_idx=r_idx, l_idx=l_idx,
-                  g_unroll=g_unroll, probe=probe)
+                  g_unroll=g_unroll, quantize=quantize, probe=probe)
 
 
 def _features_kernel(x0_ref, win_ref, wx_ref, wy_ref, rx_ref, ry_ref,
@@ -945,8 +950,8 @@ def extract_features_fused_frames(frames: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=(
     "window_shape", "levels", "cell_sizes", "num_orientations", "dims",
-    "r_idx", "l_idx", "faces_per_step", "g_unroll", "interpret",
-    "probe"))
+    "r_idx", "l_idx", "faces_per_step", "g_unroll", "quantize",
+    "interpret", "probe"))
 def detect_cascade_fused_frames(frames: jnp.ndarray,
                                 image_indices: jnp.ndarray,
                                 oy: jnp.ndarray,
@@ -962,6 +967,7 @@ def detect_cascade_fused_frames(frames: jnp.ndarray,
                                 l_idx,
                                 faces_per_step: int = None,
                                 g_unroll: int = None,
+                                quantize: bool = True,
                                 interpret: bool = False,
                                 probe=None) -> jnp.ndarray:
     """detect_cascade_fused with the per-face window crop fused into the
@@ -1014,7 +1020,8 @@ def detect_cascade_fused_frames(frames: jnp.ndarray,
         _cascade_frames_kernel, levels=tuple(levels), g_faces=g,
         ry_n=ry_n, rx_n=rx_n, num_landmarks=l, o_count=num_orientations,
         dims=dims, cell_sizes=tuple(cell_sizes), r_idx=tuple(r_idx),
-        l_idx=tuple(l_idx), g_unroll=g_unroll, probe=probe)
+        l_idx=tuple(l_idx), g_unroll=g_unroll, quantize=quantize,
+        probe=probe)
 
     wx_all, wy_all, rx_all, ry_all = _splat_consts(
         tuple(levels), tuple(cell_sizes), num_orientations, l, g)
@@ -1116,7 +1123,7 @@ def compact_to_standard_rows(num_landmarks: int, num_cells: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "levels", "cell_sizes", "num_orientations", "dims", "r_idx", "l_idx",
-    "faces_per_step", "g_unroll", "interpret", "probe"))
+    "faces_per_step", "g_unroll", "quantize", "interpret", "probe"))
 def detect_cascade_fused(windows: jnp.ndarray,
                          x0: jnp.ndarray,
                          weights_perm,
@@ -1128,6 +1135,7 @@ def detect_cascade_fused(windows: jnp.ndarray,
                          l_idx,
                          faces_per_step: int = None,
                          g_unroll: int = None,
+                         quantize: bool = True,
                          interpret: bool = False,
                          probe=None) -> jnp.ndarray:
     """Run the full cascade over per-face windows in one kernel.
@@ -1173,7 +1181,8 @@ def detect_cascade_fused(windows: jnp.ndarray,
         _cascade_kernel, levels=tuple(levels), g_faces=g, ry_n=ry_n,
         rx_n=rx_n, num_landmarks=l, o_count=num_orientations, dims=dims,
         cell_sizes=tuple(cell_sizes), r_idx=tuple(r_idx),
-        l_idx=tuple(l_idx), g_unroll=g_unroll, probe=probe)
+        l_idx=tuple(l_idx), g_unroll=g_unroll, quantize=quantize,
+        probe=probe)
 
     wx_all, wy_all, rx_all, ry_all = _splat_consts(
         tuple(levels), tuple(cell_sizes), num_orientations, l, g)
