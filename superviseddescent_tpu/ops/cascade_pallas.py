@@ -371,7 +371,11 @@ def _sample_level_batch(win_ref, x_ref, iedscr, wx_ref, wy_ref,
                 # reference parity: cv::resize writes uint8 patches
                 # (adaptive_vlhog.hpp:154-155) — round + clamp here
                 patch = jnp.clip(jnp.floor(patch + 0.5), 0.0, 255.0)
-            return patch.astype(jnp.bfloat16)
+            # f32 return/store: quantised values are integers <= 255, so
+            # an f32 pscr is BIT-IDENTICAL to the old bf16 one while
+            # skipping the store-side bf16 cast and the HOG chain's
+            # read-side f32 cast (2 VPU passes per level)
+            return patch
 
         # ---- sample the L patches ---- #
         if l <= LM_STATIC_MAX:
@@ -403,7 +407,7 @@ def _sample_level_batch(win_ref, x_ref, iedscr, wx_ref, wy_ref,
             return 0
 
         # ---- HOG over all L patches at once: (S, L*S) lane-packed ---- #
-        img = pscr[0:s, 0:lp].astype(jnp.float32)               # (S, LP)
+        img = pscr[0:s, 0:lp]                                   # (S, LP)
         zrow = jnp.zeros((1, lp), jnp.float32)
         # x-gradient: sublane shifts via slice+concat; border rows are
         # zero-splat so their values are moot
@@ -778,8 +782,8 @@ def extract_features_fused(windows: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((n_pad, kdim), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2 * num_orientations * s, lp), jnp.bfloat16),
-            pltpu.VMEM((s, lp), jnp.bfloat16),
-            pltpu.VMEM((l, s, SEG), jnp.bfloat16),
+            pltpu.VMEM((s, lp), jnp.float32),
+            pltpu.VMEM((l, s, SEG), jnp.float32),
             pltpu.VMEM((2 * num_orientations * g * br, nseg * SEG),
                        jnp.float32),
             pltpu.VMEM((g * br, dims * nseg * SEG), jnp.float32),
@@ -931,8 +935,8 @@ def extract_features_fused_frames(frames: jnp.ndarray,
             pltpu.VMEM((g, ry_n, rx_n), jnp.uint8),
             pltpu.VMEM((g, ry_n, rx_n), jnp.bfloat16),
             pltpu.VMEM((2 * num_orientations * s, lp), jnp.bfloat16),
-            pltpu.VMEM((s, lp), jnp.bfloat16),
-            pltpu.VMEM((l, s, SEG), jnp.bfloat16),
+            pltpu.VMEM((s, lp), jnp.float32),
+            pltpu.VMEM((l, s, SEG), jnp.float32),
             pltpu.VMEM((2 * num_orientations * g * br, nseg * SEG),
                        jnp.float32),
             pltpu.VMEM((g * br, dims * nseg * SEG), jnp.float32),
@@ -1060,8 +1064,8 @@ def detect_cascade_fused_frames(frames: jnp.ndarray,
             pltpu.VMEM((g, ry_n, rx_n), jnp.bfloat16),
             pltpu.VMEM((2 * num_orientations * s_max, lp_max),
                        jnp.bfloat16),
-            pltpu.VMEM((s_max, lp_max), jnp.bfloat16),
-            pltpu.VMEM((l, s_max, SEG), jnp.bfloat16),
+            pltpu.VMEM((s_max, lp_max), jnp.float32),
+            pltpu.VMEM((l, s_max, SEG), jnp.float32),
             pltpu.VMEM((g, kdim), jnp.float32),
             pltpu.VMEM((2 * num_orientations * g * br, nseg * SEG),
                        jnp.float32),
@@ -1213,8 +1217,8 @@ def detect_cascade_fused(windows: jnp.ndarray,
         scratch_shapes=[
             pltpu.VMEM((2 * num_orientations * s_max, lp_max),
                        jnp.bfloat16),
-            pltpu.VMEM((s_max, lp_max), jnp.bfloat16),
-            pltpu.VMEM((l, s_max, SEG), jnp.bfloat16),
+            pltpu.VMEM((s_max, lp_max), jnp.float32),
+            pltpu.VMEM((l, s_max, SEG), jnp.float32),
             pltpu.VMEM((g, kdim), jnp.float32),
             pltpu.VMEM((2 * num_orientations * g * br, nseg * SEG),
                        jnp.float32),
