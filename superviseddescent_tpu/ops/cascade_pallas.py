@@ -783,7 +783,8 @@ def extract_features_fused(windows: jnp.ndarray,
         scratch_shapes=[
             pltpu.VMEM((2 * num_orientations * s, lp), jnp.bfloat16),
             pltpu.VMEM((s, lp), jnp.float32),
-            pltpu.VMEM((l, s, SEG), jnp.float32),
+            pltpu.VMEM((l, s, SEG) if l > LM_STATIC_MAX
+                       else (1, 1, SEG), jnp.float32),
             pltpu.VMEM((2 * num_orientations * g * br, nseg * SEG),
                        jnp.float32),
             pltpu.VMEM((g * br, dims * nseg * SEG), jnp.float32),
@@ -936,7 +937,8 @@ def extract_features_fused_frames(frames: jnp.ndarray,
             pltpu.VMEM((g, ry_n, rx_n), jnp.bfloat16),
             pltpu.VMEM((2 * num_orientations * s, lp), jnp.bfloat16),
             pltpu.VMEM((s, lp), jnp.float32),
-            pltpu.VMEM((l, s, SEG), jnp.float32),
+            pltpu.VMEM((l, s, SEG) if l > LM_STATIC_MAX
+                       else (1, 1, SEG), jnp.float32),
             pltpu.VMEM((2 * num_orientations * g * br, nseg * SEG),
                        jnp.float32),
             pltpu.VMEM((g * br, dims * nseg * SEG), jnp.float32),
@@ -1065,7 +1067,8 @@ def detect_cascade_fused_frames(frames: jnp.ndarray,
             pltpu.VMEM((2 * num_orientations * s_max, lp_max),
                        jnp.bfloat16),
             pltpu.VMEM((s_max, lp_max), jnp.float32),
-            pltpu.VMEM((l, s_max, SEG), jnp.float32),
+            pltpu.VMEM((l, s_max, SEG) if l > LM_STATIC_MAX
+                       else (1, 1, SEG), jnp.float32),
             pltpu.VMEM((g, kdim), jnp.float32),
             pltpu.VMEM((2 * num_orientations * g * br, nseg * SEG),
                        jnp.float32),
@@ -1218,7 +1221,8 @@ def detect_cascade_fused(windows: jnp.ndarray,
             pltpu.VMEM((2 * num_orientations * s_max, lp_max),
                        jnp.bfloat16),
             pltpu.VMEM((s_max, lp_max), jnp.float32),
-            pltpu.VMEM((l, s_max, SEG), jnp.float32),
+            pltpu.VMEM((l, s_max, SEG) if l > LM_STATIC_MAX
+                       else (1, 1, SEG), jnp.float32),
             pltpu.VMEM((g, kdim), jnp.float32),
             pltpu.VMEM((2 * num_orientations * g * br, nseg * SEG),
                        jnp.float32),
