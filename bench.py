@@ -493,6 +493,7 @@ def main():
     # stepped + exact-sampling compiles cost ~185 s and are diagnostics,
     # not the headline)
     detect_fused = model.make_fused_detector(roi=512, max_ied=max_ied)
+    log("fused detector built (weights permuted host-side)")
     t0 = time.time()
     out_fused = detect_fused(bench_images, bench_boxes)
     out_fused.block_until_ready()
