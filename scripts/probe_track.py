@@ -102,8 +102,9 @@ def main():
               f"({n / dt:6.1f} fps)", flush=True)
         return last, dt / n
 
-    def run_pipelined(frame_seq, label):
-        stream = model.make_fused_track_stream(roi=ROI, max_ied=MAX_IED)
+    def run_pipelined(frame_seq, label, chunk=1):
+        stream = model.make_fused_track_stream(roi=ROI, max_ied=MAX_IED,
+                                               chunk=chunk)
         t0 = None
         n_timed = 0
         last = None
@@ -133,6 +134,21 @@ def main():
     np.testing.assert_allclose(np.asarray(seq_dev)[0], pipe_dev, atol=1e-4)
     print(f"pipelining speedup: host {t_sh / t_ph:.2f}x, "
           f"device-resident {t_sd / t_pd:.2f}x", flush=True)
+
+    # chunked readback (round 5): one (K, 2L) transfer per K frames —
+    # the only lever past the one-RTT-per-frame wall measured above
+    for chunk in (4, 8, 16):
+        last_h, t_ch = run_pipelined(frames, f"chunk{chunk}-host",
+                                     chunk=chunk)
+        np.testing.assert_allclose(np.asarray(seq_host)[0], last_h,
+                                   atol=1e-4)
+        last_d, t_cd = run_pipelined(dev_frames, f"chunk{chunk}-dev",
+                                     chunk=chunk)
+        np.testing.assert_allclose(np.asarray(seq_dev)[0], last_d,
+                                   atol=1e-4)
+        print(f"  chunk={chunk}: host {t_sh / t_ch:.2f}x, "
+              f"device-resident {t_sd / t_cd:.2f}x vs sequential",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -871,7 +871,8 @@ class DetectionModel:
                                         init="landmarks")
 
     def make_fused_track_stream(self, roi: int,
-                                max_ied: Optional[float] = None):
+                                max_ied: Optional[float] = None,
+                                chunk: int = 1):
         """Pipelined per-frame tracking over a frame iterable: returns
         ``stream(frames, facebox) -> iterator of (2L,) numpy rows``, one
         per frame in order.
@@ -895,14 +896,33 @@ class DetectionModel:
         device-resident jax.Arrays (pass device arrays to skip the
         synchronous per-frame upload). For loss detection + facebox
         re-init, drive the two fits directly with the same lag-one
-        pattern (apps/rcr_track.py does)."""
+        pattern (apps/rcr_track.py does).
+
+        ``chunk`` amortises the readback RTT: with a ~0.1 ms device fit,
+        per-frame wall is ONE readback RTT no matter how the lag-one
+        loop is arranged (measured: seq and lag-one pipelining both
+        ~26.7 ms/frame device-resident over the ~25 ms tunnel —
+        scripts/probe_track.py), so the only way past the RTT wall is
+        reading MORE THAN ONE row per round trip. chunk=K concatenates
+        K device rows (one jitted op) and reads them back in one
+        transfer, overlapped with the NEXT K fits — per-frame cost
+        tends to ``(fit + dispatch) + RTT/K``. Landmark rows are
+        bit-identical to chunk=1 (the on-device row chain is untouched);
+        the only semantic change is DELIVERY LAG — rows arrive in bursts
+        of K, up to 2K-1 frames behind the dispatch front. Use chunk=1
+        (default) for interactive per-frame consumers, chunk=8-16 for
+        offline video sweeps."""
+        if chunk < 1:
+            raise ValueError(f"chunk must be >= 1, got {chunk}")
         detector = self.make_fused_detector(roi, max_ied=max_ied)
         tracker = self.make_fused_tracker(roi, max_ied=max_ied)
+        gather = jax.jit(lambda *rows: jnp.concatenate(rows, axis=0))
 
         def stream(frames, facebox):
             box = np.asarray(facebox, np.float32)[None]
             prev = None      # previous frame's device row (1, 2L)
-            pending = None   # oldest un-yielded device row
+            pend = []        # device rows not yet in a flush, oldest first
+            flushing = None  # device (chunk, 2L) batch awaiting readback
             for frame in frames:
                 img = (frame if isinstance(frame, jax.Array)
                        else jnp.asarray(np.asarray(frame)))
@@ -911,11 +931,23 @@ class DetectionModel:
                 cur = detector(img, box) if prev is None \
                     else tracker(img, prev)
                 prev = cur
-                if pending is not None:
-                    yield np.asarray(pending)[0]
-                pending = cur
-            if pending is not None:
-                yield np.asarray(pending)[0]
+                pend.append(cur)
+                if len(pend) >= chunk:
+                    batch_dev = pend[0] if chunk == 1 else gather(*pend)
+                    pend = []
+                    # read the PREVIOUS flush now: its transfer overlaps
+                    # the chunk of fits dispatched since it was issued
+                    if flushing is not None:
+                        for row in np.asarray(flushing):
+                            yield row
+                    flushing = batch_dev
+            if flushing is not None:
+                for row in np.asarray(flushing):
+                    yield row
+            # tail shorter than chunk: read rows individually (a fresh
+            # gather shape would cost a stray compile for < chunk rows)
+            for r in pend:
+                yield np.asarray(r)[0]
 
         return stream
 

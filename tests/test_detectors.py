@@ -632,6 +632,16 @@ def test_fused_track_stream_matches_sequential(trained):
     assert len(out) == len(frames)
     np.testing.assert_array_equal(np.stack(out), np.stack(seq))
 
+    # chunked readback (round 5: one RTT per K frames — the only lever
+    # past the per-frame RTT wall, see probe_track.py): rows must stay
+    # BIT-identical for every chunk size, including chunk > n_frames
+    # (pure-tail flush) and a non-dividing chunk (partial tail)
+    for chunk in (2, 3, 4, 7):
+        out_c = list(model.make_fused_track_stream(
+            roi=512, max_ied=145.0, chunk=chunk)(frames, box0))
+        assert len(out_c) == len(frames), chunk
+        np.testing.assert_array_equal(np.stack(out_c), np.stack(seq))
+
 
 def test_fused_frames_border_clamped_windows(trained):
     # VERDICT r3 item 8 + ADVICE r3: the frames path aligns window
