@@ -45,7 +45,18 @@ def main(argv=None):
     p.add_argument("--no-fused", action="store_true",
                    help="disable the fused whole-cascade tracking kernel "
                         "(exact monolithic fit instead of fast-mode)")
+    p.add_argument("--chunk", type=int, default=8,
+                   help="read tracked landmark rows back from the device "
+                        "K frames at a time (one transfer RTT per K "
+                        "frames; rows are bit-identical to --chunk 1, but "
+                        "frame output and tracking-loss detection lag the "
+                        "dispatch front by up to 2K-1 frames). Measured "
+                        "over the remote tunnel: 37->200 frames/s at K=8 "
+                        "(docs/PERF_NOTES.md). Use --chunk 1 for strict "
+                        "per-frame interactive output")
     args = p.parse_args(argv)
+    if args.chunk < 1:
+        raise SystemExit("--chunk must be >= 1")
 
     from superviseddescent_tpu.models import DetectionModel
     from superviseddescent_tpu.ops.patches import load_gray_image
@@ -125,53 +136,111 @@ def main(argv=None):
                          outline=(0, 255, 0))
         img.save(os.path.join(args.output_dir, os.path.basename(path)))
 
-    # Fused tracking runs PIPELINED (VERDICT r4 item 4, mirroring
-    # HaarCascadeDetector.detect_stream): the loop's only inter-frame
-    # dependency — frame N+1 initialises from frame N's landmark row
-    # (model.hpp:147-157) — stays device-resident, so frame N+1's fit is
-    # dispatched BEFORE frame N's host readback. On a remote/tunneled
-    # backend the per-frame cost drops from (upload + fit + ~25-30 ms
-    # readback RTT) to ~max(upload + fit, RTT); see
-    # docs/PERF_NOTES.md "Pipelined tracking". One fit stays in flight:
-    # `pending` holds (index, path, image, device row) awaiting decode.
-    prev_row = None   # last DECODED host row (lags the dispatch by one)
+    # Fused tracking runs PIPELINED with CHUNKED readback (VERDICT r4
+    # item 4; docs/PERF_NOTES.md "Tracked frames/s"): the loop's only
+    # inter-frame dependency — frame N+1 initialises from frame N's
+    # landmark row (model.hpp:147-157) — stays device-resident, so fits
+    # keep dispatching while completed rows ride back K at a time in ONE
+    # transfer (measured: lag-one pipelining cannot beat the ~25 ms
+    # tunnel readback RTT wall — 37 fps; chunk=8 reads 8 rows per RTT —
+    # 200 fps, bit-identical rows). `pending` holds fits not yet
+    # gathered into a flush; `flushing` is the one (K, 2L) readback in
+    # flight, which host-decodes while the NEXT K fits dispatch. Output
+    # and loss detection lag the dispatch front by up to 2K-1 frames; on
+    # a loss every later frame rode a bad chain, so recover() re-fits
+    # them synchronously from the (re-detected) facebox.
+    prev_row = None   # last DECODED host row (lags the dispatch front)
     prev_dev = None   # device row driving the next fused fit
-    pending = None    # in-flight fused fit: [i, path, image, row_dev]
+    pending = []      # dispatched fits: [i, path, image, row_dev]
+    flushing = None   # in-flight readback: (batch_dev, metas)
+    gather = None     # lazy jitted row concat (chunk > 1 only)
     t_iter = time.time()
 
-    def decode_pending():
-        """Fence + host-process the in-flight fused fit: report, loss
-        check (with facebox re-detect), optional annotation. Returns the
-        decoded host row, or None when tracking was lost."""
-        nonlocal prev_dev, box, t_iter
-        i, path, image, row_dev = pending
-        row = np.asarray(row_dev)[0]
-        wall_ms = (time.time() - t_iter) * 1000.0
+    def report_row(i, path, image, row, n_amort, tag):
+        """Print + annotate + loss-check one decoded row. Returns False
+        when tracking was lost (facebox re-detected as a side effect)."""
+        nonlocal box, t_iter
+        wall_ms = (time.time() - t_iter) * 1000.0 / max(1, n_amort)
         t_iter = time.time()
-        lms = to_landmark_collection(row, model.landmark_ids)
         print(f"frame {i} ({os.path.basename(path)}): fit {wall_ms:.1f} ms"
-              f" (pipelined), "
+              f"{tag}, "
               f"bbox {tuple(round(v, 1) for v in enclosing_bbox(row))}")
         if args.output_dir:
-            annotate(path, lms)
+            annotate(path, to_landmark_collection(row, model.landmark_ids))
         if not estimate_ok(row, image.shape):
             print(f"frame {i}: tracking lost, re-initialising")
             if face_det is not None:
                 redetected = face_det.detect(image)
                 if len(redetected):
                     box = tuple(float(v) for v in redetected[0])
-            # any fit already dispatched from this bad row is invalid —
-            # the caller re-dispatches it from the facebox
-            prev_dev = None
-            return None
-        return row
+            return False
+        return True
+
+    def decode_flush():
+        """Fence + host-process the in-flight flush. Returns the index
+        of the first lost-track row within it, or None if all ok; the
+        last good row lands in prev_row."""
+        nonlocal prev_row, flushing
+        batch_dev, metas = flushing
+        flushing = None
+        rows = np.asarray(batch_dev)
+        tag = " (pipelined)" if len(metas) == 1 else \
+            f" (chunked x{len(metas)})"
+        for j, (i, path, image, _) in enumerate(metas):
+            ok = report_row(i, path, image, rows[j],
+                            len(metas) if j == 0 else 1, tag)
+            if not ok:
+                return j
+            prev_row = rows[j]
+        return None
+
+    def refit(metas):
+        """Re-fit frames that rode a lost chain, synchronously from the
+        (re-detected) facebox; leaves prev_dev/prev_row on the new
+        chain. Frames whose re-fit is ALSO lost restart the chain."""
+        nonlocal prev_dev, prev_row
+        prev_dev = None
+        for (i, path, image, _) in metas:
+            if prev_dev is None:
+                row_dev = detector(image[None], np.float32(box)[None])
+            else:
+                row_dev = tracker(image[None], prev_dev)
+            prev_dev = row_dev
+            row = np.asarray(row_dev)[0]
+            if report_row(i, path, image, row, 1, " (refit)"):
+                prev_row = row
+            else:
+                prev_dev = None
+                prev_row = None
+
+    def drain():
+        """Decode everything in flight (flush + pending), recovering
+        from any mid-burst tracking loss."""
+        nonlocal pending, prev_dev, prev_row
+        while flushing is not None or pending:
+            if flushing is not None:
+                batch_meta = flushing[1]
+                lost = decode_flush()
+                if lost is not None:
+                    refit(batch_meta[lost + 1:] + pending)
+                    pending = []
+                    return
+            if pending:
+                metas, pending = pending, []
+                for (i, path, image, row_dev) in metas:
+                    row = np.asarray(row_dev)[0]
+                    if report_row(i, path, image, row, 1, ""):
+                        prev_row = row
+                    else:
+                        refit([m for m in metas if m[0] > i])
+                        return
 
     for i, path in enumerate(frames):
         image = np.asarray(load_gray_image(path), np.float32)
         if prev_row is None and prev_dev is None:
             face_size = max(box[2], box[3])
         else:
-            # the lagged host row is a one-frame-stale (fine) size proxy;
+            # the lagged host row is a slightly-stale (fine) size proxy;
             # before the first decode, fall back to the facebox size
             ref = prev_row if prev_row is not None else np.float32(
                 [box[0], box[0] + box[2], box[1], box[1] + box[3]])
@@ -187,23 +256,31 @@ def main(argv=None):
                 else:
                     row_dev = tracker_f(image[None], prev_dev)
                 prev_dev = row_dev
-                if pending is not None:
-                    decoded = decode_pending()
-                    prev_row = decoded if decoded is not None else None
-                    if prev_dev is None:
-                        # the fit just dispatched rode a lost track —
-                        # redo THIS frame from the (re-detected) facebox
-                        row_dev = detector_f(image[None],
-                                             np.float32(box)[None])
-                        prev_dev = row_dev
-                pending = [i, path, image, row_dev]
+                pending.append([i, path, image, row_dev])
+                if len(pending) >= args.chunk:
+                    if args.chunk == 1:
+                        batch_dev = pending[0][3]
+                    else:
+                        if gather is None:
+                            import jax
+                            import jax.numpy as jnp
+                            gather = jax.jit(lambda *r: jnp.concatenate(
+                                r, axis=0))
+                        batch_dev = gather(*[m[3] for m in pending])
+                    metas, pending = pending, []
+                    if flushing is not None:
+                        old_metas = flushing[1]
+                        lost = decode_flush()
+                        if lost is not None:
+                            # every frame fitted after the lost one rode
+                            # a bad chain — re-fit them from the facebox
+                            refit(old_metas[lost + 1:] + metas)
+                            continue
+                    flushing = (batch_dev, metas)
                 continue
             # exact (non-fused) path: synchronous per frame; drain the
             # pipeline first so prev_row is current
-            if pending is not None:
-                decoded = decode_pending()
-                prev_row = decoded
-                pending = None
+            drain()
             prev_dev = None
             if prev_row is None:
                 lms = model.detect(image, box)
@@ -218,7 +295,7 @@ def main(argv=None):
                   "falling back to the exact fit")
             tracker = detector = None
             fused_usable = False
-            prev_dev, pending = None, None
+            prev_dev, pending, flushing = None, [], None
             if prev_row is None:
                 lms = model.detect(image, box)
             else:
@@ -237,8 +314,7 @@ def main(argv=None):
             prev_row = None  # next frame restarts from the facebox
         if args.output_dir:
             annotate(path, lms)
-    if pending is not None:
-        decode_pending()
+    drain()
     return 0
 
 
