@@ -86,6 +86,45 @@ def test_rcr_track(trained_model):
     assert "fit" in r.stdout
 
 
+def test_rcr_track_chunked_fused(trained_model, tmp_path):
+    # the fused tracking pipeline with chunked readback (round 5,
+    # default --chunk 8; docs/PERF_NOTES.md "Tracked frames/s"): 11
+    # synthetic drift frames large enough for the fused roi window,
+    # decoded in bursts of 3 (non-dividing chunk exercises flush +
+    # pending-tail + any mid-burst loss refit)
+    import numpy as np
+    from PIL import Image
+    from superviseddescent_tpu.io import read_pts_landmarks
+    from superviseddescent_tpu.models import gt_facebox
+    from superviseddescent_tpu.ops.patches import load_gray_image
+
+    png = os.path.join(DATA, "image_0001.png")
+    lms = read_pts_landmarks(os.path.join(DATA, "image_0001.pts"))
+    base = np.asarray(load_gray_image(png), np.float32)
+    h, w = base.shape
+    padded = np.zeros((max(h, 544), max(((w + 127) // 128) * 128, 512)),
+                      np.float32)
+    padded[:h, :w] = base
+    frames_dir = tmp_path / "frames"
+    frames_dir.mkdir()
+    for t in range(11):
+        dx = int(round(2.0 * np.sin(2 * np.pi * t / 25.0)))
+        Image.fromarray(np.roll(padded, dx, axis=1).astype(np.uint8)).save(
+            frames_dir / f"f{t:02d}.png")
+    box = gt_facebox(lms)
+    r = run(["superviseddescent_tpu.apps.rcr_track",
+             "-m", str(trained_model), "-f", str(frames_dir),
+             "--facebox", ",".join(f"{v:.1f}" for v in box),
+             "--chunk", "3"], timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    # every frame reported exactly once, in order
+    reported = [int(l.split()[1]) for l in r.stdout.splitlines()
+                if l.startswith("frame ") and "(" in l and "lost" not in l]
+    assert reported == list(range(11)), r.stdout
+    assert "using the fused whole-cascade kernel" in r.stdout
+    assert "(chunked x3)" in r.stdout
+
+
 XML = "/usr/share/opencv4/haarcascades/haarcascade_frontalface_alt2.xml"
 
 
