@@ -78,12 +78,28 @@ def _arg(flag, default):
     return default
 
 
-# set True once the run observes its own first compile was cold (fused
-# compile+first wall >> the warm dispatch cost); budget_allows then uses
-# each section's COLD reserve — warm-calibrated reserves after a kernel
-# change are how rounds 2-4 lost the accuracy record (VERDICT r4 item 1)
+# set True once the run observes its own first compile was cold;
+# budget_allows then uses each section's COLD reserve — warm-calibrated
+# reserves after a kernel change are how rounds 2-4 lost the accuracy
+# record (VERDICT r4 item 1)
 COLD_CACHE = False
 SECTION_SEC = {}
+
+
+def fresh_cache_writes():
+    """True iff the persistent compilation cache gained an entry since
+    this process started — the direct signal that an XLA compile >5 s
+    actually ran (jax writes an entry exactly then). The round-4 signal
+    (first-call wall > 30 s) false-positives on tunnel latency jitter:
+    measured 10.5 s vs 129.7 s for the SAME cache-hit first call in two
+    runs 25 min apart, which flipped the guard to cold reserves on a
+    fully warm cache and cost run r5-interim its accuracy record."""
+    cache_dir = os.path.join(REPO, ".jax_cache")
+    try:
+        with os.scandir(cache_dir) as it:
+            return any(e.stat().st_mtime > T0 for e in it)
+    except OSError:
+        return True  # no cache dir: every compile is cold
 
 
 def budget_allows(warm_reserve, section, cold_reserve=None):
@@ -247,12 +263,14 @@ def _loo_eval(stack, gt_rows, boxes, fold_train_idx, fold_of_face,
     n = stack.shape[0]
     fold_weights = []   # per fold: list of (F, 2L) per level
     model0 = None
-    for tr in fold_train_idx:
+    for fi, tr in enumerate(fold_train_idx):
+        t_f = time.time()
         mk = train_rcr(stack[tr], gt_rows[tr], boxes[tr], model_landmarks,
                        right_ids, left_ids, mean, cfg)
         model0 = model0 or mk
         fold_weights.append([np.asarray(r.weights)
                              for r in mk.sdo.regressors])
+        log(f"  loo fold {fi}: {time.time() - t_f:.1f}s")
 
     # stacked per-fold weights: levels x (n_folds, F, 2L); each face
     # evaluates against the fold that held it out
@@ -273,9 +291,11 @@ def _loo_eval(stack, gt_rows, boxes, fold_train_idx, fold_of_face,
 
     x = jnp.asarray(align_mean(np.asarray(mean)[None, :],
                                np.asarray(boxes, np.float32)))
+    t_e = time.time()
     for li in range(len(w_stacks)):
         x = level_fn(x, w_stacks[li], fold_of_face, li)
     pred = np.asarray(x)
+    log(f"  loo eval ({len(w_stacks)} levels): {time.time() - t_e:.1f}s")
 
     r_idx, l_idx = resolve_eye_indices(model_landmarks, right_ids, left_ids)
     ied = np.asarray(ied_from_rows(gt_rows.astype(np.float32),
@@ -500,13 +520,15 @@ def main():
     first_s = time.time() - t0
     log(f"fused detect compile+first: {first_s:.1f}s")
     global COLD_CACHE
-    if first_s > 30.0:
-        # a warm-cache first call is trace+load+run (~5-15 s); anything
-        # slower means the persistent cache missed (kernel changed) and
-        # every later section's compiles will be cold too — switch the
-        # budget guard to cold reserves (VERDICT r4 item 1)
+    if fresh_cache_writes():
+        # the persistent cache missed (kernel changed: a new entry was
+        # just written) — every later section's compiles will be cold
+        # too, so switch the budget guard to cold reserves (VERDICT r4
+        # item 1). Wall-time was the r4 signal and false-positived on
+        # tunnel jitter (see fresh_cache_writes)
         COLD_CACHE = True
-        log("cold compile detected: budget guard switches to cold reserves")
+        log("cold compile detected (new persistent-cache entry): "
+            "budget guard switches to cold reserves")
 
     # accuracy: every face in the bench batch is one of the 5 LFPW faces
     right_idx, left_idx = resolve_eye_indices(model_landmarks,

@@ -1025,8 +1025,16 @@ class DetectionModel:
     def from_cereal(cls, cm: CerealDetectionModel) -> "DetectionModel":
         regressors = []
         for cr in cm.regressors:
+            # weights stay HOST numpy at rest: jnp/jit consumers accept
+            # them as-is (closed over as constants / uploaded per call),
+            # while an eager device upload here would make every later
+            # host-side read (e.g. the fused detector's weight
+            # permutation) a device->HOST round trip — measured 50-180 s
+            # of pure tunnel readback per process for the 4-level RCR-22
+            # weights before this was fixed (docs/PERF_NOTES.md
+            # "Process-preamble anatomy")
             regressors.append(LinearRegressor(
-                weights=jnp.asarray(cr.weights),
+                weights=np.asarray(cr.weights, np.float32),
                 regulariser=Regulariser(
                     RegularisationType(cr.regularisation_type),
                     cr.lambda_, cr.regularise_last_row)))
