@@ -23,9 +23,11 @@ section group — stdout always carries a valid machine-readable record
 however far a timeout lets the run get (VERDICT r3 item 1: the r3 driver
 artifact died with rc=124 and parsed=null because the single JSON line
 printed only at the very end). Optional sections are additionally gated
-by a wall-clock budget (--budget SECONDS, default 520 — calibrated so a
-warm-cache run finishes every section in ~480 s and even a
-tunnel-degraded run self-limits under the driver's ~600 s kill): a
+by a wall-clock budget (--budget SECONDS, default 860 — the driver's
+kill window is bounded below by r4's surviving 596 s run and above by
+r3's kill somewhere past ~650 s; a warm-cache run lands the FULL record
+(core + train + heldout60 + families, measured ~685 s round 5) plus the
+cheap diagnostics inside 860, and a cold/degraded run self-limits): a
 section whose typical cost would overshoot the budget is skipped with a
 log line.
 
@@ -36,10 +38,10 @@ latency, 300-W train seconds, heldout60 accuracy, family throughput +
 accuracy) run before every DIAGNOSTIC (stepped path, exact-sampling
 cross-check, 5-image folds). Each section carries two reserves — its
 measured WARM cost and its measured COLD cost — and the guard picks the
-cold one whenever the run's own first compile was cold (the run
-self-detects cache state from the fused compile+first wall, bench
-logs it), so a post-kernel-change driver run skips EARLY instead of
-blowing the budget mid-record. Per-section wall costs are recorded in
+cold one whenever the run's own first compile was cold (self-detected
+from a fresh persistent-cache write — wall time false-positives on
+tunnel jitter), so a post-kernel-change driver run skips EARLY instead
+of blowing the budget mid-record. Per-section wall costs are recorded in
 the JSON under "section_sec" (VERDICT r4 item 8) so next round's
 reserves are data, not guesswork.
 
@@ -107,7 +109,7 @@ def budget_allows(warm_reserve, section, cold_reserve=None):
     section only if its typical cost still fits the --budget. Reserves
     are (warm, cold) measured costs; the cold one applies whenever this
     run's own first compile was cold."""
-    budget = _arg("--budget", 520.0)
+    budget = _arg("--budget", 860.0)
     reserve_sec = (cold_reserve if COLD_CACHE and cold_reserve is not None
                    else warm_reserve)
     elapsed = time.time() - T0
@@ -611,7 +613,7 @@ def main():
     # the accuracy record because diagnostics spent the budget first)
     right_ids, left_ids, mean = load_train_meta(model_landmarks)
     if ("--skip-train" not in sys.argv
-            and budget_allows(40, "300-W train bench", 130)):
+            and budget_allows(70, "300-W train bench", 160)):
         with section_timer("train_300w"):
             train_sec = bench_train_300w(stack, gt_rows, boxes,
                                          model_landmarks,
@@ -619,7 +621,7 @@ def main():
             out["train_sec_300w"] = round(train_sec, 2)
         print(json.dumps(out), flush=True)
     if ("--skip-heldout60" not in sys.argv
-            and budget_allows(150, "heldout60 leave-one-identity-out", 320)):
+            and budget_allows(360, "heldout60 leave-one-identity-out", 560)):
         # the headline held-out protocol (VERDICT r3 item 4): 60 synth
         # images, leave one IDENTITY out, mirror-augmented training
         with section_timer("heldout60"):
@@ -634,7 +636,7 @@ def main():
     # config, served as TRAINED committed models with a same-run
     # train-set IOD error check ---- #
     if ("--skip-families" not in sys.argv
-            and budget_allows(120, "model-family throughput (29/68 lm)",
+            and budget_allows(220, "model-family throughput (29/68 lm)",
                               280)):
         sys.path.insert(0, os.path.join(REPO, "scripts"))
         from bench_fused_families import measure_family
@@ -651,7 +653,7 @@ def main():
 
     # ============ DIAGNOSTIC sections (record is complete) ============ #
     # ---- stepped per-level path (diagnostic + best-path check) ---- #
-    if budget_allows(45, "stepped per-level diagnostic", 140):
+    if budget_allows(15, "stepped per-level diagnostic", 150):
         with section_timer("stepped_diag"):
             detect = model.make_stepped_detector(batch, roi=512,
                                                  sampling="fast",
@@ -678,7 +680,7 @@ def main():
 
     # exact-f32-sampling accuracy cross-check (pure diagnostic; its cold
     # compile is ~2 min, so it is budget-gated like the optional sections)
-    if budget_allows(20, "exact-sampling accuracy cross-check", 60):
+    if budget_allows(120, "exact-sampling accuracy cross-check", 170):
         with section_timer("exact_sampling_diag"):
             detect_exact = model.make_stepped_detector(batch, roi=512,
                                                        sampling="exact",
@@ -691,7 +693,7 @@ def main():
                 f"{err_exact:.4f}")
 
     if ("--skip-heldout" not in sys.argv
-            and budget_allows(100, "5-image leave-one-out folds", 170)):
+            and budget_allows(400, "5-image leave-one-out folds", 700)):
         # flip augmentation (VERDICT r2 item 2): the headline 5-image
         # held-out number is the mirror-augmented one (heldout60 above is
         # the stronger protocol; these folds are the legacy diagnostic)
@@ -702,7 +704,7 @@ def main():
             out["heldout_iod_err"] = round(heldout, 4)
             out["heldout_iod_err_worst_fold"] = round(heldout_worst, 4)
         print(json.dumps(out), flush=True)
-        if budget_allows(60, "no-mirror ablation folds", 130):
+        if budget_allows(270, "no-mirror ablation folds", 450):
             with section_timer("heldout5_nomirror"):
                 heldout_nomirror, _ = bench_heldout(
                     stack, gt_rows, boxes, model_landmarks,
