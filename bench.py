@@ -602,8 +602,15 @@ def main():
     with section_timer("latency_b1"):
         img1, box1 = bench_images[:1], bench_boxes[:1]
         detect_fused(img1, box1).block_until_ready()     # compile b=1
-        dt_b1, _ = measure(detect_fused, img1, box1, reps=50)
-        log(f"fused batch-1 fit latency: {dt_b1*1e3:.3f} ms/frame")
+        # the ~0.1 ms fit is at the RTT-subtraction noise floor and the
+        # tunnel RTT has +-10 ms outliers — record the MEDIAN of several
+        # independent measure() calls (recorded values ranged 0.06-1.02
+        # ms run-to-run with a single call)
+        dts = sorted(measure(detect_fused, img1, box1, reps=50)[0]
+                     for _ in range(5))
+        dt_b1 = dts[len(dts) // 2]
+        log(f"fused batch-1 fit latency: {dt_b1*1e3:.3f} ms/frame "
+            f"(median of 5 runs, spread {dts[0]*1e3:.3f}-{dts[-1]*1e3:.3f})")
         out["latency_ms_b1"] = round(dt_b1 * 1e3, 3)
     print(json.dumps(out), flush=True)
 

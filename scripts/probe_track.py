@@ -102,9 +102,9 @@ def main():
               f"({n / dt:6.1f} fps)", flush=True)
         return last, dt / n
 
-    def run_pipelined(frame_seq, label, chunk=1):
+    def run_pipelined(frame_seq, label, chunk=1, depth=None):
         stream = model.make_fused_track_stream(roi=ROI, max_ied=MAX_IED,
-                                               chunk=chunk)
+                                               chunk=chunk, depth=depth)
         t0 = None
         n_timed = 0
         last = None
@@ -148,6 +148,22 @@ def main():
                                    atol=1e-4)
         print(f"  chunk={chunk}: host {t_sh / t_ch:.2f}x, "
               f"device-resident {t_sd / t_cd:.2f}x vs sequential",
+              flush=True)
+
+    # async-window readback (round 5): copy_to_host_async at dispatch,
+    # collect D frames later — D in-flight transfers pipeline at ~RTT/D
+    # (scripts/probe_async_readback.py), per-frame delivery, fixed lag
+    for depth in (4, 8, 16):
+        last_h, t_dh = run_pipelined(frames, f"depth{depth}-host",
+                                     depth=depth)
+        np.testing.assert_allclose(np.asarray(seq_host)[0], last_h,
+                                   atol=1e-4)
+        last_d, t_dd = run_pipelined(dev_frames, f"depth{depth}-dev",
+                                     depth=depth)
+        np.testing.assert_allclose(np.asarray(seq_dev)[0], last_d,
+                                   atol=1e-4)
+        print(f"  depth={depth}: host {t_sh / t_dh:.2f}x, "
+              f"device-resident {t_sd / t_dd:.2f}x vs sequential",
               flush=True)
 
 

@@ -872,7 +872,8 @@ class DetectionModel:
 
     def make_fused_track_stream(self, roi: int,
                                 max_ied: Optional[float] = None,
-                                chunk: int = 1):
+                                chunk: int = 1,
+                                depth: Optional[int] = None):
         """Pipelined per-frame tracking over a frame iterable: returns
         ``stream(frames, facebox) -> iterator of (2L,) numpy rows``, one
         per frame in order.
@@ -911,12 +912,47 @@ class DetectionModel:
         the only semantic change is DELIVERY LAG — rows arrive in bursts
         of K, up to 2K-1 frames behind the dispatch front. Use chunk=1
         (default) for interactive per-frame consumers, chunk=8-16 for
-        offline video sweeps."""
+        offline video sweeps.
+
+        ``depth`` selects the ASYNC-WINDOW alternative (mutually
+        exclusive with chunk>1): every fit's row starts a
+        ``copy_to_host_async`` at dispatch and is collected exactly D
+        frames later — measured (scripts/probe_async_readback.py) D
+        independent in-flight transfers pipeline over the tunnel at
+        ~RTT/D per row (16.3x at D=16), so per-frame cost matches
+        chunk~2D while delivery is SMOOTH (one row per frame, fixed
+        D-frame lag, no 2K-1 bursts) and no gather op is dispatched."""
         if chunk < 1:
             raise ValueError(f"chunk must be >= 1, got {chunk}")
+        if depth is not None and (depth < 1 or chunk > 1):
+            raise ValueError("depth requires chunk=1 and depth >= 1, "
+                             f"got depth={depth}, chunk={chunk}")
         detector = self.make_fused_detector(roi, max_ied=max_ied)
         tracker = self.make_fused_tracker(roi, max_ied=max_ied)
         gather = jax.jit(lambda *rows: jnp.concatenate(rows, axis=0))
+
+        def stream_depth(frames, facebox):
+            import collections
+            box = np.asarray(facebox, np.float32)[None]
+            prev = None
+            window = collections.deque()   # rows with readback in flight
+            for frame in frames:
+                img = (frame if isinstance(frame, jax.Array)
+                       else jnp.asarray(np.asarray(frame)))
+                if img.ndim == 2:
+                    img = img[None]
+                cur = detector(img, box) if prev is None \
+                    else tracker(img, prev)
+                prev = cur
+                cur.copy_to_host_async()
+                window.append(cur)
+                if len(window) > depth:
+                    yield np.asarray(window.popleft())[0]
+            while window:
+                yield np.asarray(window.popleft())[0]
+
+        if depth is not None:
+            return stream_depth
 
         def stream(frames, facebox):
             box = np.asarray(facebox, np.float32)[None]

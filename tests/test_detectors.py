@@ -642,6 +642,17 @@ def test_fused_track_stream_matches_sequential(trained):
         assert len(out_c) == len(frames), chunk
         np.testing.assert_array_equal(np.stack(out_c), np.stack(seq))
 
+    # async-window readback (depth mode): copy_to_host_async at dispatch,
+    # collected exactly D frames later — same bit-identical rows, incl.
+    # depth > n_frames (pure drain)
+    for depth in (1, 3, 7):
+        out_d = list(model.make_fused_track_stream(
+            roi=512, max_ied=145.0, depth=depth)(frames, box0))
+        assert len(out_d) == len(frames), depth
+        np.testing.assert_array_equal(np.stack(out_d), np.stack(seq))
+    with pytest.raises(ValueError):
+        model.make_fused_track_stream(roi=512, chunk=2, depth=2)
+
 
 def test_fused_frames_border_clamped_windows(trained):
     # VERDICT r3 item 8 + ADVICE r3: the frames path aligns window
