@@ -136,6 +136,21 @@ def main(argv=None):
                          outline=(0, 255, 0))
         img.save(os.path.join(args.output_dir, os.path.basename(path)))
 
+    def pad_align(img_u8):
+        """Zero-pad a uint8 frame to the fused kernel's (32, 128) DMA
+        alignment so it rides the in-kernel-crop frames path AS uint8 —
+        the per-frame host->device upload is the host-loop bottleneck
+        over a remote tunnel and uint8 quarters it (measured: 37.7 ->
+        128.8 tracked fps at depth/chunk 8, docs/PERF_NOTES.md).
+        Padding is right/bottom only: coordinates are unchanged."""
+        h, w = img_u8.shape
+        ph, pw = -(-h // 32) * 32, -(-w // 128) * 128
+        if (ph, pw) == (h, w):
+            return img_u8
+        out = np.zeros((ph, pw), np.uint8)
+        out[:h, :w] = img_u8
+        return out
+
     # Fused tracking runs PIPELINED with CHUNKED readback (VERDICT r4
     # item 4; docs/PERF_NOTES.md "Tracked frames/s"): the loop's only
     # inter-frame dependency — frame N+1 initialises from frame N's
@@ -236,7 +251,7 @@ def main(argv=None):
                         return
 
     for i, path in enumerate(frames):
-        image = np.asarray(load_gray_image(path), np.float32)
+        image = np.asarray(load_gray_image(path))   # uint8 grayscale
         if prev_row is None and prev_dev is None:
             face_size = max(box[2], box[3])
         else:
@@ -251,12 +266,13 @@ def main(argv=None):
         try:
             if fused:
                 detector_f, tracker_f = fused
+                pimg = pad_align(image)
                 if prev_dev is None:
-                    row_dev = detector_f(image[None], np.float32(box)[None])
+                    row_dev = detector_f(pimg[None], np.float32(box)[None])
                 else:
-                    row_dev = tracker_f(image[None], prev_dev)
+                    row_dev = tracker_f(pimg[None], prev_dev)
                 prev_dev = row_dev
-                pending.append([i, path, image, row_dev])
+                pending.append([i, path, pimg, row_dev])
                 if len(pending) >= args.chunk:
                     if args.chunk == 1:
                         batch_dev = pending[0][3]
