@@ -45,18 +45,20 @@ def main(argv=None):
     p.add_argument("--no-fused", action="store_true",
                    help="disable the fused whole-cascade tracking kernel "
                         "(exact monolithic fit instead of fast-mode)")
-    p.add_argument("--chunk", type=int, default=8,
-                   help="read tracked landmark rows back from the device "
-                        "K frames at a time (one transfer RTT per K "
-                        "frames; rows are bit-identical to --chunk 1, but "
-                        "frame output and tracking-loss detection lag the "
-                        "dispatch front by up to 2K-1 frames). Measured "
-                        "over the remote tunnel: 37->200 frames/s at K=8 "
-                        "(docs/PERF_NOTES.md). Use --chunk 1 for strict "
+    p.add_argument("--depth", type=int, default=8,
+                   help="keep D tracked rows' device->host readbacks in "
+                        "flight (each row's async transfer starts at "
+                        "dispatch and is collected D frames later; D "
+                        "overlapped transfers pipeline at ~RTT/D over a "
+                        "remote tunnel). Rows are bit-identical to "
+                        "--depth 1; output and loss detection lag the "
+                        "dispatch front by exactly D frames. Measured: "
+                        "21 -> 129 tracked fps at D=8 "
+                        "(docs/PERF_NOTES.md). Use --depth 1 for strict "
                         "per-frame interactive output")
     args = p.parse_args(argv)
-    if args.chunk < 1:
-        raise SystemExit("--chunk must be >= 1")
+    if args.depth < 1:
+        raise SystemExit("--depth must be >= 1")
 
     from superviseddescent_tpu.models import DetectionModel
     from superviseddescent_tpu.ops.patches import load_gray_image
@@ -151,31 +153,30 @@ def main(argv=None):
         out[:h, :w] = img_u8
         return out
 
-    # Fused tracking runs PIPELINED with CHUNKED readback (VERDICT r4
+    # Fused tracking runs as an ASYNC-WINDOW pipeline (VERDICT r4
     # item 4; docs/PERF_NOTES.md "Tracked frames/s"): the loop's only
     # inter-frame dependency — frame N+1 initialises from frame N's
     # landmark row (model.hpp:147-157) — stays device-resident, so fits
-    # keep dispatching while completed rows ride back K at a time in ONE
-    # transfer (measured: lag-one pipelining cannot beat the ~25 ms
-    # tunnel readback RTT wall — 37 fps; chunk=8 reads 8 rows per RTT —
-    # 200 fps, bit-identical rows). `pending` holds fits not yet
-    # gathered into a flush; `flushing` is the one (K, 2L) readback in
-    # flight, which host-decodes while the NEXT K fits dispatch. Output
-    # and loss detection lag the dispatch front by up to 2K-1 frames; on
-    # a loss every later frame rode a bad chain, so recover() re-fits
-    # them synchronously from the (re-detected) facebox.
+    # keep dispatching while each completed row's device->host readback
+    # (started at dispatch via copy_to_host_async) rides back in
+    # parallel; D overlapped transfers pipeline at ~RTT/D over a remote
+    # tunnel, and each row is collected exactly D frames after its
+    # dispatch (measured: 21 -> 129 tracked fps at D=8 on host frames).
+    # Output and loss detection lag the dispatch front by exactly D
+    # frames; on a loss every frame in flight rode a bad chain, so
+    # refit() re-fits them synchronously from the (re-detected) facebox.
+    import collections
     prev_row = None   # last DECODED host row (lags the dispatch front)
     prev_dev = None   # device row driving the next fused fit
-    pending = []      # dispatched fits: [i, path, image, row_dev]
-    flushing = None   # in-flight readback: (batch_dev, metas)
-    gather = None     # lazy jitted row concat (chunk > 1 only)
+    pending = collections.deque()   # in flight: [i, path, image, row_dev]
     t_iter = time.time()
+    lag_tag = f" (lag {args.depth})" if args.depth > 1 else " (pipelined)"
 
-    def report_row(i, path, image, row, n_amort, tag):
+    def report_row(i, path, image, row, tag):
         """Print + annotate + loss-check one decoded row. Returns False
         when tracking was lost (facebox re-detected as a side effect)."""
         nonlocal box, t_iter
-        wall_ms = (time.time() - t_iter) * 1000.0 / max(1, n_amort)
+        wall_ms = (time.time() - t_iter) * 1000.0
         t_iter = time.time()
         print(f"frame {i} ({os.path.basename(path)}): fit {wall_ms:.1f} ms"
               f"{tag}, "
@@ -191,23 +192,16 @@ def main(argv=None):
             return False
         return True
 
-    def decode_flush():
-        """Fence + host-process the in-flight flush. Returns the index
-        of the first lost-track row within it, or None if all ok; the
-        last good row lands in prev_row."""
-        nonlocal prev_row, flushing
-        batch_dev, metas = flushing
-        flushing = None
-        rows = np.asarray(batch_dev)
-        tag = " (pipelined)" if len(metas) == 1 else \
-            f" (chunked x{len(metas)})"
-        for j, (i, path, image, _) in enumerate(metas):
-            ok = report_row(i, path, image, rows[j],
-                            len(metas) if j == 0 else 1, tag)
-            if not ok:
-                return j
-            prev_row = rows[j]
-        return None
+    def decode_oldest():
+        """Collect the oldest in-flight row. Returns False on a
+        tracking loss (caller must refit the rest of the pipeline)."""
+        nonlocal prev_row
+        i, path, image, row_dev = pending.popleft()
+        row = np.asarray(row_dev)[0]
+        if report_row(i, path, image, row, lag_tag):
+            prev_row = row
+            return True
+        return False
 
     def refit(metas):
         """Re-fit frames that rode a lost chain, synchronously from the
@@ -222,33 +216,29 @@ def main(argv=None):
                 row_dev = tracker(image[None], prev_dev)
             prev_dev = row_dev
             row = np.asarray(row_dev)[0]
-            if report_row(i, path, image, row, 1, " (refit)"):
+            if report_row(i, path, image, row, " (refit)"):
                 prev_row = row
             else:
                 prev_dev = None
                 prev_row = None
 
+    def recover():
+        """A decoded row was a tracking loss: every frame still in
+        flight rode the bad chain — re-fit them from the facebox."""
+        nonlocal prev_dev, prev_row
+        metas = list(pending)
+        pending.clear()
+        if metas:
+            refit(metas)
+        else:
+            prev_dev = None
+            prev_row = None
+
     def drain():
-        """Decode everything in flight (flush + pending), recovering
-        from any mid-burst tracking loss."""
-        nonlocal pending, prev_dev, prev_row
-        while flushing is not None or pending:
-            if flushing is not None:
-                batch_meta = flushing[1]
-                lost = decode_flush()
-                if lost is not None:
-                    refit(batch_meta[lost + 1:] + pending)
-                    pending = []
-                    return
-            if pending:
-                metas, pending = pending, []
-                for (i, path, image, row_dev) in metas:
-                    row = np.asarray(row_dev)[0]
-                    if report_row(i, path, image, row, 1, ""):
-                        prev_row = row
-                    else:
-                        refit([m for m in metas if m[0] > i])
-                        return
+        """Decode everything in flight, recovering from any loss."""
+        while pending:
+            if not decode_oldest():
+                recover()
 
     for i, path in enumerate(frames):
         image = np.asarray(load_gray_image(path))   # uint8 grayscale
@@ -272,27 +262,11 @@ def main(argv=None):
                 else:
                     row_dev = tracker_f(pimg[None], prev_dev)
                 prev_dev = row_dev
+                row_dev.copy_to_host_async()
                 pending.append([i, path, pimg, row_dev])
-                if len(pending) >= args.chunk:
-                    if args.chunk == 1:
-                        batch_dev = pending[0][3]
-                    else:
-                        if gather is None:
-                            import jax
-                            import jax.numpy as jnp
-                            gather = jax.jit(lambda *r: jnp.concatenate(
-                                r, axis=0))
-                        batch_dev = gather(*[m[3] for m in pending])
-                    metas, pending = pending, []
-                    if flushing is not None:
-                        old_metas = flushing[1]
-                        lost = decode_flush()
-                        if lost is not None:
-                            # every frame fitted after the lost one rode
-                            # a bad chain — re-fit them from the facebox
-                            refit(old_metas[lost + 1:] + metas)
-                            continue
-                    flushing = (batch_dev, metas)
+                if len(pending) > args.depth:
+                    if not decode_oldest():
+                        recover()
                 continue
             # exact (non-fused) path: synchronous per frame; drain the
             # pipeline first so prev_row is current
@@ -311,7 +285,8 @@ def main(argv=None):
                   "falling back to the exact fit")
             tracker = detector = None
             fused_usable = False
-            prev_dev, pending, flushing = None, [], None
+            prev_dev = None
+            pending.clear()
             if prev_row is None:
                 lms = model.detect(image, box)
             else:

@@ -86,12 +86,12 @@ def test_rcr_track(trained_model):
     assert "fit" in r.stdout
 
 
-def test_rcr_track_chunked_fused(trained_model, tmp_path):
-    # the fused tracking pipeline with chunked readback (round 5,
-    # default --chunk 8; docs/PERF_NOTES.md "Tracked frames/s"): 11
+def test_rcr_track_pipelined_fused(trained_model, tmp_path):
+    # the fused tracking pipeline with async-window readback (round 5,
+    # default --depth 8; docs/PERF_NOTES.md "Tracked frames/s"): 11
     # synthetic drift frames large enough for the fused roi window,
-    # decoded in bursts of 3 (non-dividing chunk exercises flush +
-    # pending-tail + any mid-burst loss refit)
+    # collected at a 3-frame lag (exercises the window, the end drain,
+    # and any in-flight loss refit)
     import numpy as np
     from PIL import Image
     from superviseddescent_tpu.io import read_pts_landmarks
@@ -115,14 +115,14 @@ def test_rcr_track_chunked_fused(trained_model, tmp_path):
     r = run(["superviseddescent_tpu.apps.rcr_track",
              "-m", str(trained_model), "-f", str(frames_dir),
              "--facebox", ",".join(f"{v:.1f}" for v in box),
-             "--chunk", "3"], timeout=900)
+             "--depth", "3"], timeout=900)
     assert r.returncode == 0, r.stderr[-2000:]
     # every frame reported exactly once, in order
     reported = [int(l.split()[1]) for l in r.stdout.splitlines()
                 if l.startswith("frame ") and "(" in l and "lost" not in l]
     assert reported == list(range(11)), r.stdout
     assert "using the fused whole-cascade kernel" in r.stdout
-    assert "(chunked x3)" in r.stdout
+    assert "(lag 3)" in r.stdout
 
 
 XML = "/usr/share/opencv4/haarcascades/haarcascade_frontalface_alt2.xml"
