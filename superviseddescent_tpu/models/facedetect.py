@@ -733,19 +733,32 @@ class HaarCascadeDetector:
         (K, 4) grouped [x, y, w, h] boxes ``detect`` would have."""
         return self._decode_pending(pending)[0]
 
-    def detect_stream(self, frames: Iterable) -> Iterator[np.ndarray]:
+    def detect_stream(self, frames: Iterable,
+                      depth: int = 4) -> Iterator[np.ndarray]:
         """Pipelined single-frame detection over a frame iterable (video
-        sweep): yields each frame's grouped boxes in order, keeping one
-        detect in flight so frame N's readback RTT overlaps frame N+1's
-        device compute (see :meth:`detect_begin`). Frames may differ in
-        shape (each (H, W) class compiles once). For same-shape frames
-        wanting throughput over ordering latency, prefer
+        sweep): yields each frame's grouped boxes in order, keeping
+        ``depth`` detects in flight. Each frame's candidate readback
+        starts at dispatch (``copy_to_host_async``) and is collected
+        ``depth`` frames later — D independent in-flight transfers
+        pipeline over a remote tunnel at ~RTT/D per frame
+        (scripts/probe_async_readback.py), so the steady per-frame cost
+        tends to ~max(device pyramid time, RTT/D) instead of
+        device + RTT (lag-one, the round-4 scheme, still paid one full
+        RTT per frame). Boxes are identical for every depth; delivery
+        lags the dispatch front by ``depth`` frames. Frames may differ
+        in shape (each (H, W) class compiles once). For same-shape
+        frames wanting throughput over ordering latency, prefer
         :meth:`detect_batch` (one readback for the whole stack)."""
-        prev = None
+        if depth < 1:
+            raise ValueError(f"depth must be >= 1, got {depth}")
+        import collections
+        window = collections.deque()
         for frame in frames:
             cur = self.detect_begin(frame)
-            if prev is not None:
-                yield self._decode_pending(prev)[0]
-            prev = cur
-        if prev is not None:
-            yield self._decode_pending(prev)[0]
+            if cur.packed is not None:
+                cur.packed.copy_to_host_async()
+            window.append(cur)
+            if len(window) > depth:
+                yield self._decode_pending(window.popleft())[0]
+        while window:
+            yield self._decode_pending(window.popleft())[0]

@@ -249,6 +249,13 @@ def test_detect_stream_matches_single(detector):
         np.testing.assert_array_equal(got, detector.detect(frame))
     assert len(streamed[0]) >= 1
     assert len(streamed[2]) == 0
+    # the async-window depth is output-invariant (round 5: depth-D
+    # readback overlap; boxes must be identical for every D, including
+    # D=1 (lag-one) and D > n_frames (pure drain))
+    for depth in (1, 2, 7):
+        got_d = list(detector.detect_stream(frames, depth=depth))
+        for a, b in zip(streamed, got_d):
+            np.testing.assert_array_equal(a, b)
     # explicit begin/end with two in flight, fenced out of issue order
     p0 = detector.detect_begin(img)
     p1 = detector.detect_begin(shifted)
