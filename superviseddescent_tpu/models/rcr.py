@@ -987,6 +987,42 @@ class DetectionModel:
 
         return stream
 
+    def make_fused_track_scan(self, roi: int,
+                              max_ied: Optional[float] = None):
+        """Whole-clip tracking as ONE compiled program:
+        ``f(frames (N, H, W), facebox (4,)) -> (N, 2L)`` — frame 0 fits
+        from the facebox (the detect overload, model.hpp:132-144), every
+        later frame initialises from its predecessor's row
+        (model.hpp:147-157) via a ``lax.scan`` whose carry is the
+        device-resident landmark row.
+
+        This is the offline-sweep speed-of-light: the host dispatches
+        ONE program and reads back ONE (N, 2L) array per clip, so
+        neither the per-frame Python dispatch (~3 ms over a tunnel) nor
+        any readback RTT appears in the loop — against the streaming
+        path's ~RTT/D floor (make_fused_track_stream). Rows match the
+        sequential detector/tracker chain exactly (the scan body IS the
+        tracker's traced fn; CPU test). Frames must share one shape;
+        pass uint8 (32, 128)-aligned stacks to ride the in-kernel-crop
+        frames path. No loss detection — it is a fixed-length scan; run
+        loss checks on the returned rows host-side if needed."""
+        tracker = self.make_fused_tracker(roi, max_ied=max_ied)
+        detector = self.make_fused_detector(roi, max_ied=max_ied)
+
+        @jax.jit
+        def run(frames, facebox):
+            row0 = detector(frames[:1], jnp.asarray(
+                facebox, jnp.float32)[None])            # (1, 2L)
+
+            def step(carry, frame):
+                row = tracker(frame[None], carry)
+                return row, row[0]
+
+            _, rows = jax.lax.scan(step, row0, frames[1:])
+            return jnp.concatenate([row0, rows], axis=0)
+
+        return run
+
     def make_scan_detector(self, batch: int, quantize: bool = True):
         """Whole-cascade detector whose levels run as ONE ``lax.scan``
         body over the stacked weights (core/cascade.py::weight_stack) —

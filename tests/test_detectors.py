@@ -653,6 +653,12 @@ def test_fused_track_stream_matches_sequential(trained):
     with pytest.raises(ValueError):
         model.make_fused_track_stream(roi=512, chunk=2, depth=2)
 
+    # whole-clip lax.scan tracking: one program, one readback — rows
+    # must equal the sequential detector/tracker chain
+    scan_rows = np.asarray(model.make_fused_track_scan(
+        roi=512, max_ied=145.0)(np.stack(frames), box0))
+    np.testing.assert_array_equal(scan_rows, np.stack(seq))
+
 
 def test_fused_frames_border_clamped_windows(trained):
     # VERDICT r3 item 8 + ADVICE r3: the frames path aligns window
