@@ -56,6 +56,14 @@ def main(argv=None):
                         "21 -> 129 tracked fps at D=8 "
                         "(docs/PERF_NOTES.md). Use --depth 1 for strict "
                         "per-frame interactive output")
+    p.add_argument("--scan", action="store_true",
+                   help="offline whole-clip mode: upload every frame "
+                        "once and run the entire sequence as ONE "
+                        "compiled lax.scan program (one dispatch, one "
+                        "readback; 0.026 ms/frame measured — "
+                        "docs/PERF_NOTES.md). Requires same-shape "
+                        "frames; loss checks run host-side afterwards "
+                        "(no mid-clip facebox re-init)")
     args = p.parse_args(argv)
     if args.depth < 1:
         raise SystemExit("--depth must be >= 1")
@@ -152,6 +160,35 @@ def main(argv=None):
         out = np.zeros((ph, pw), np.uint8)
         out[:h, :w] = img_u8
         return out
+
+    if args.scan:
+        # offline whole-clip mode: ONE lax.scan program over the padded
+        # uint8 frame stack (make_fused_track_scan; rows identical to
+        # the streaming loop), loss checks host-side afterwards
+        if args.no_fused:
+            raise SystemExit("--scan requires the fused kernel")
+        imgs = [pad_align(np.asarray(load_gray_image(p))) for p in frames]
+        if len({im.shape for im in imgs}) != 1:
+            raise SystemExit("--scan requires same-shape frames")
+        if imgs[0].shape[0] < ROI or imgs[0].shape[1] < ROI:
+            raise SystemExit(f"--scan requires frames >= {ROI}x{ROI}")
+        scan = model.make_fused_track_scan(roi=ROI)
+        t0 = time.time()
+        rows = np.asarray(scan(np.stack(imgs), np.float32(box)))
+        wall = time.time() - t0
+        print(f"scan: {len(frames)} frames in {wall*1e3:.1f} ms "
+              f"({wall / len(frames) * 1e3:.3f} ms/frame incl. "
+              "upload+compile on first run)")
+        for i, (path, row) in enumerate(zip(frames, rows)):
+            print(f"frame {i} ({os.path.basename(path)}): "
+                  f"bbox {tuple(round(v, 1) for v in enclosing_bbox(row))}")
+            if not estimate_ok(row, imgs[i].shape):
+                print(f"frame {i}: tracking lost (no mid-clip re-init "
+                      "in --scan mode)")
+            if args.output_dir:
+                annotate(path, to_landmark_collection(
+                    row, model.landmark_ids))
+        return 0
 
     # Fused tracking runs as an ASYNC-WINDOW pipeline (VERDICT r4
     # item 4; docs/PERF_NOTES.md "Tracked frames/s"): the loop's only

@@ -124,6 +124,25 @@ def test_rcr_track_pipelined_fused(trained_model, tmp_path):
     assert "using the fused whole-cascade kernel" in r.stdout
     assert "(lag 3)" in r.stdout
 
+    # offline whole-clip mode (--scan): one lax.scan program; the
+    # pre-loss bbox chain must match the pipelined run's frame-for-frame
+    r2 = run(["superviseddescent_tpu.apps.rcr_track",
+              "-m", str(trained_model), "-f", str(frames_dir),
+              "--facebox", ",".join(f"{v:.1f}" for v in box),
+              "--scan"], timeout=900)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "scan: 11 frames" in r2.stdout
+
+    def bboxes(out):
+        return [l.split("bbox ")[1] for l in out.splitlines()
+                if l.startswith("frame ") and "bbox" in l]
+
+    b_pipe, b_scan = bboxes(r.stdout), bboxes(r2.stdout)
+    n_common = next((j for j, (a, b) in enumerate(zip(b_pipe, b_scan))
+                     if a != b), len(b_scan))
+    # identical until the first pipelined-run loss re-init (if any)
+    assert n_common >= min(4, len(b_scan)), (b_pipe, b_scan)
+
 
 XML = "/usr/share/opencv4/haarcascades/haarcascade_frontalface_alt2.xml"
 
